@@ -1,0 +1,25 @@
+"""Test configuration: force an 8-device virtual CPU mesh before JAX import.
+
+The reference verifies multi-GPU behavior only by running real 4-GPU DDP
+(reference README.md:129-135); we instead simulate an 8-device mesh on CPU so
+every sharding/collective path is exercised in CI without TPU hardware.
+"""
+import os
+
+# force-override: the container exports JAX_PLATFORMS=axon (live TPU tunnel);
+# unit tests must run on the virtual CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The container's sitecustomize imports jax at interpreter startup with
+# JAX_PLATFORMS=axon already captured — override the live config too.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
