@@ -64,9 +64,9 @@ def _hat(phi):
 def _V_coeffs(theta_sq):
     """a=(1-cos)/th^2, b=(th-sin)/th^3 with Taylor fallbacks (cutoff as
     reference expSE3, droid_kernels.cu:162)."""
-    theta = jnp.sqrt(theta_sq)
     small = theta_sq < 1e-8
-    th_safe = jnp.where(small, jnp.ones_like(theta), theta)
+    # sqrt argument guarded so gradients stay finite at theta = 0
+    th_safe = jnp.sqrt(jnp.where(small, jnp.ones_like(theta_sq), theta_sq))
     a_f = (1.0 - jnp.cos(th_safe)) / (th_safe * th_safe)
     b_f = (th_safe - jnp.sin(th_safe)) / (th_safe ** 3)
     a_t = 0.5 - theta_sq / 24.0 + theta_sq * theta_sq / 720.0
@@ -91,9 +91,8 @@ def se3_log(X):
     phi = so3_log(se3_q(X))
     t = se3_t(X)
     theta_sq = jnp.sum(phi * phi, axis=-1, keepdims=True)
-    theta = jnp.sqrt(theta_sq)
     small = theta_sq < 1e-8
-    th_safe = jnp.where(small, jnp.ones_like(theta), theta)
+    th_safe = jnp.sqrt(jnp.where(small, jnp.ones_like(theta_sq), theta_sq))
     # Vinv = I - 1/2 hat + c hat^2 ; c = 1/th^2 - (1+cos)/(2 th sin)
     half = th_safe / 2.0
     c_f = (1.0 - half * jnp.cos(half) / jnp.maximum(jnp.sin(half), 1e-12)) / jnp.maximum(

@@ -50,13 +50,12 @@ def sim3_act(X, P):
 
 def _W_coeffs(sigma, theta_sq):
     """Coefficients (C, B, A) of W = C I + B hat + A hat^2 for Sim3 exp."""
-    theta = jnp.sqrt(theta_sq)
     s = jnp.exp(sigma)
     sig_small = jnp.abs(sigma) < 1e-5
     th_small = theta_sq < 1e-8
 
     sig_safe = jnp.where(sig_small, jnp.ones_like(sigma), sigma)
-    th_safe = jnp.where(th_small, jnp.ones_like(theta), theta)
+    th_safe = jnp.sqrt(jnp.where(th_small, jnp.ones_like(theta_sq), theta_sq))
     denom = sig_safe * sig_safe + th_safe * th_safe
 
     # C = int_0^1 e^{sigma u} du

@@ -45,12 +45,12 @@ def so3_exp(phi):
     """Axis-angle (3,) -> quaternion xyzw (reference droid_kernels.cu:110-132)."""
     theta_sq = jnp.sum(phi * phi, axis=-1, keepdims=True)
     theta_p4 = theta_sq * theta_sq
-    theta = jnp.sqrt(theta_sq)
     small = theta_sq < 1e-8
-    # Taylor branches identical to the reference's cutoffs
+    # Taylor branches identical to the reference's cutoffs.  The sqrt argument
+    # is guarded so the *gradient* stays finite at theta = 0 (sqrt'(0) = inf).
     imag_t = 0.5 - (1.0 / 48.0) * theta_sq + (1.0 / 3840.0) * theta_p4
     real_t = 1.0 - (1.0 / 8.0) * theta_sq + (1.0 / 384.0) * theta_p4
-    theta_safe = jnp.where(small, jnp.ones_like(theta), theta)
+    theta_safe = jnp.sqrt(jnp.where(small, jnp.ones_like(theta_sq), theta_sq))
     imag_f = jnp.sin(0.5 * theta_safe) / theta_safe
     real_f = jnp.cos(0.5 * theta_safe)
     imag = jnp.where(small, imag_t, imag_f)
@@ -67,11 +67,10 @@ def so3_log(q):
     qv = qv * sign
     qw = qw * sign
     nv_sq = jnp.sum(qv * qv, axis=-1, keepdims=True)
-    nv = jnp.sqrt(nv_sq)
     small = nv_sq < 1e-14
-    nv_safe = jnp.where(small, jnp.ones_like(nv), nv)
+    nv_safe = jnp.sqrt(jnp.where(small, jnp.ones_like(nv_sq), nv_sq))
     qw_clamped = jnp.clip(qw, -1.0, 1.0)
-    theta = 2.0 * jnp.arctan2(nv, qw_clamped)
+    theta = 2.0 * jnp.arctan2(nv_safe, qw_clamped)
     # small-angle: theta/sin(theta/2) ~ 2/qw * (1 + nv^2/(6 qw^2))
     scale_f = theta / nv_safe
     scale_t = 2.0 / jnp.maximum(qw, 1e-12) * (1.0 - nv_sq / (3.0 * qw * qw))
