@@ -1,0 +1,135 @@
+"""Correlation op tests: volume-vs-fused parity (the corr_index/altcorr seam),
+lookup semantics, scaling, differentiability."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from droid_slam_reserch_tpu.ops import (
+    corr_volume,
+    build_pyramid,
+    corr_lookup,
+    corr_lookup_pyramid,
+    altcorr,
+    altcorr_pyramid,
+    pool2x_fmap,
+)
+
+E, H, W, C = 2, 8, 16, 32
+R = 3
+RD = 2 * R + 1
+
+
+def feats(key, h=H, w=W):
+    k1, k2 = jax.random.split(key)
+    f1 = jax.random.normal(k1, (E, h, w, C))
+    f2 = jax.random.normal(k2, (E, h, w, C))
+    return f1, f2
+
+
+def test_volume_scaling():
+    f1, f2 = feats(jax.random.PRNGKey(0))
+    vol = corr_volume(f1, f2)
+    expect = np.einsum("exyc,euvc->exyuv", np.asarray(f1), np.asarray(f2)) / 16.0
+    np.testing.assert_allclose(np.asarray(vol) * 16.0, expect * 16.0, atol=1e-3)
+
+
+def test_integer_lookup_matches_slice():
+    f1, f2 = feats(jax.random.PRNGKey(1))
+    vol = corr_volume(f1, f2)
+    # coords at the pixel itself
+    ys, xs = jnp.meshgrid(jnp.arange(H), jnp.arange(W), indexing="ij")
+    coords = jnp.broadcast_to(
+        jnp.stack([xs, ys], -1).astype(jnp.float32), (E, H, W, 2)
+    )
+    out = corr_lookup(vol, coords, radius=R)
+    # center channel (a = r, b = r) must equal the diagonal of the volume
+    center = out[..., R * RD + R]
+    diag = jnp.einsum("exyxy->exy", vol.reshape(E, H, W, H, W))
+    np.testing.assert_allclose(np.asarray(center), np.asarray(diag), atol=1e-4)
+    # channel (a, b) at integer coords is vol[y, x, y - r + b, x - r + a]
+    a, b = 4, 2
+    ch = out[..., a * RD + b]
+    x1 = np.clip(np.arange(W) - R + a, 0, None)
+    y1 = np.arange(H) - R + b
+    voln = np.asarray(vol)
+    expect = np.zeros((E, H, W))
+    for y in range(H):
+        for x in range(W):
+            yy, xx = y - R + b, x - R + a
+            if 0 <= yy < H and 0 <= xx < W:
+                expect[:, y, x] = voln[:, y, x, yy, xx]
+    np.testing.assert_allclose(np.asarray(ch), expect, atol=1e-4)
+
+
+def test_fused_matches_volume_lookup():
+    """altcorr must be numerically identical to volume + lookup."""
+    f1, f2 = feats(jax.random.PRNGKey(2))
+    key = jax.random.PRNGKey(3)
+    coords = jnp.stack(
+        [
+            jax.random.uniform(key, (E, H, W)) * (W - 1),
+            jax.random.uniform(jax.random.fold_in(key, 1), (E, H, W)) * (H - 1),
+        ],
+        axis=-1,
+    )
+    vol = corr_volume(f1, f2)
+    out_vol = corr_lookup(vol, coords, radius=R)
+    out_fused = altcorr(f1, f2, coords, radius=R)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_vol), atol=1e-4)
+
+
+def test_pyramid_shapes_and_parity():
+    f1, f2 = feats(jax.random.PRNGKey(4))
+    coords = jnp.stack(
+        [
+            jax.random.uniform(jax.random.PRNGKey(5), (E, H, W)) * (W - 1),
+            jax.random.uniform(jax.random.PRNGKey(6), (E, H, W)) * (H - 1),
+        ],
+        axis=-1,
+    )
+    pyr = build_pyramid(corr_volume(f1, f2), num_levels=3)
+    out = corr_lookup_pyramid(pyr, coords, radius=R)
+    assert out.shape == (E, H, W, 3 * RD * RD)
+
+    # fused pyramid: feature pooling first vs volume pooling — level 1 of the
+    # volume pyramid pools the *volume*, the alt path pools *features*; these
+    # differ (pooled dot != dot of pooled), exactly as in the reference.
+    f2_pyr = [f2, pool2x_fmap(f2), pool2x_fmap(pool2x_fmap(f2))]
+    out_f = altcorr_pyramid(f1, f2_pyr, coords, radius=R)
+    assert out_f.shape == (E, H, W, 3 * RD * RD)
+    # level 0 must agree exactly
+    np.testing.assert_allclose(
+        np.asarray(out_f[..., : RD * RD]), np.asarray(out[..., : RD * RD]), atol=1e-4
+    )
+
+
+def test_out_of_bounds_is_zero():
+    f1, f2 = feats(jax.random.PRNGKey(7))
+    vol = corr_volume(f1, f2)
+    coords = jnp.full((E, H, W, 2), -50.0)  # far outside
+    out = corr_lookup(vol, coords, radius=R)
+    np.testing.assert_allclose(np.asarray(out), 0.0)
+
+
+def test_gradients_flow():
+    f1, f2 = feats(jax.random.PRNGKey(8))
+    coords = jnp.stack(
+        [
+            jax.random.uniform(jax.random.PRNGKey(9), (E, H, W)) * (W - 1),
+            jax.random.uniform(jax.random.PRNGKey(10), (E, H, W)) * (H - 1),
+        ],
+        axis=-1,
+    )
+
+    def loss_vol(v):
+        return jnp.sum(corr_lookup(v, coords, radius=R) ** 2)
+
+    g = jax.grad(loss_vol)(corr_volume(f1, f2))
+    assert np.all(np.isfinite(np.asarray(g)))
+
+    def loss_fused(a, b):
+        return jnp.sum(altcorr(a, b, coords, radius=R) ** 2)
+
+    ga, gb = jax.grad(loss_fused, argnums=(0, 1))(f1, f2)
+    assert np.all(np.isfinite(np.asarray(ga)))
+    assert np.all(np.isfinite(np.asarray(gb)))
