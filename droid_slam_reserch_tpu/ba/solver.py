@@ -10,15 +10,19 @@ Design deltas vs reference src/droid_kernels.cu:1314-1434 (SURVEY.md §7):
   sharing a depth keyframe in a CPU loop (droid_kernels.cu:1244-1272);
   here edges are grouped per depth bucket on the host *once per graph
   revision* (``schur_pairs``), padded to a fixed max degree, and the
-  S = E Q E^T blocks become one batched matmul [M, R*6, HW] x [M, HW, R*6]
-  that rides the MXU.
-- **Depth buckets = all frames < t1** (validity by masking) so every shape
-  is static under jit.
+  S = E Q E^T blocks become one batched matmul that rides the MXU.
+- **Windowed, mask-based formulation**: the solver operates on a window of
+  MW frames with *local* indices and a dynamic ``free_mask`` selecting
+  optimizable poses (the reference's [t0, t1) window).  Fixed poses are
+  eliminated with identity rows, so the jit signature depends only on the
+  (bucketed) window size and edge count — the engine never recompiles as
+  t1 grows.
 
 Semantics preserved: per-edge blocks from ``build_system_blocks`` (the
 projective_transform_kernel analog), RGB-D prior mixing with alpha = 0.05
 (droid_kernels.cu:1395-1400), damping diag*(1+lm) + ep, retraction via
-se3_retr, motion_only branch (droid_kernels.cu:1385-1392).
+se3_retr, motion_only branch (droid_kernels.cu:1385-1392).  Edges padded
+as (0, 0) self-edges with zero weight contribute exactly nothing.
 """
 from functools import partial
 
@@ -66,6 +70,12 @@ def _pose_matrix(Hblocks, P):
     return Hblocks.transpose(0, 2, 1, 3).reshape(6 * P, 6 * P)
 
 
+def _mask_fixed(A, free6):
+    """Identity rows/cols for fixed poses: eliminates them from the system."""
+    A = A * free6[:, None] * free6[None, :]
+    return A + jnp.diag(1.0 - free6)
+
+
 def _damped_solve(S, v, lm, ep):
     """Damped Cholesky solve with one iterative-refinement step.
 
@@ -83,10 +93,7 @@ def _damped_solve(S, v, lm, ep):
     return jnp.where(bad, jnp.zeros_like(dx), dx)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("t0", "t1", "iterations", "motion_only", "alpha", "min_depth"),
-)
+@partial(jax.jit, static_argnames=("iterations", "motion_only", "alpha", "min_depth"))
 def ba_solve(
     poses,
     disps,
@@ -97,10 +104,9 @@ def ba_solve(
     eta,
     ii,
     jj,
+    free_mask,
     bucket_edges,
     bucket_mask,
-    t0,
-    t1,
     iterations=2,
     lm=1e-4,
     ep=0.1,
@@ -108,33 +114,29 @@ def ba_solve(
     alpha=0.05,
     min_depth=0.25,
 ):
-    """Dense bundle adjustment over the window [t0, t1).
+    """Windowed dense bundle adjustment with local frame indices.
 
-    poses: [PT, 7] full buffer; disps/disps_sens: [PT, H, W]; intrinsics [4]
-    (at 1/8 resolution); target/weight: [N, H, W, 2]; eta: [t1, H, W]
-    per-frame damping; ii/jj: [N] edges; bucket_edges/bucket_mask from
-    ``schur_pairs(ii, t1)``.  Returns updated (poses, disps).
+    poses: [MW, 7]; disps/disps_sens: [MW, H, W]; intrinsics: [4] (1/8 res);
+    target/weight: [N, H, W, 2]; eta: [MW, H, W] per-frame damping;
+    ii/jj: [N] *local* edge indices in [0, MW); free_mask: [MW] bool —
+    poses to optimize (depths of all MW frames are optimized, like the
+    reference's kx buckets); bucket_edges/bucket_mask from
+    ``schur_pairs(ii, MW)``.  Returns updated (poses, disps).
     """
-    P = t1 - t0
-    M = t1
+    MW = poses.shape[0]
     H, W = disps.shape[-2:]
     HW = H * W
-    N = ii.shape[0]
 
-    intr_full = jnp.broadcast_to(intrinsics, (poses.shape[0], 4))
+    intr_full = jnp.broadcast_to(intrinsics, (MW, 4))
+    free = free_mask.astype(jnp.float32)
+    free6 = jnp.repeat(free, 6)
 
     def iteration(_, state):
         poses, disps = state
 
         blk = build_system_blocks(
-            target[None],
-            weight[None],
-            poses[None],
-            disps[None],
-            intr_full[None],
-            ii,
-            jj,
-            min_depth=min_depth,
+            target[None], weight[None], poses[None], disps[None], intr_full[None],
+            ii, jj, min_depth=min_depth,
         )
         Hii, Hij = blk["Hii"][0], blk["Hij"][0]
         Hji, Hjj = blk["Hji"][0], blk["Hjj"][0]
@@ -142,81 +144,74 @@ def ba_solve(
         Ei, Ej = blk["Ei"][0], blk["Ej"][0]
         Ck, wk = blk["Ck"][0], blk["wk"][0]
 
-        iiw = ii - t0
-        jjw = jj - t0
-        ii_ok = (iiw >= 0) & (iiw < P)
-        jj_ok = (jjw >= 0) & (jjw < P)
-
+        ok = jnp.ones_like(ii, dtype=bool)
         Hmat = (
-            _scatter_blocks(Hii, iiw, iiw, ii_ok & ii_ok, P)
-            + _scatter_blocks(Hij, iiw, jjw, ii_ok & jj_ok, P)
-            + _scatter_blocks(Hji, jjw, iiw, jj_ok & ii_ok, P)
-            + _scatter_blocks(Hjj, jjw, jjw, jj_ok & jj_ok, P)
+            _scatter_blocks(Hii, ii, ii, ok, MW)
+            + _scatter_blocks(Hij, ii, jj, ok, MW)
+            + _scatter_blocks(Hji, jj, ii, ok, MW)
+            + _scatter_blocks(Hjj, jj, jj, ok, MW)
         )
         v = (
-            jnp.zeros((P + 1, 6))
-            .at[jnp.where(ii_ok, iiw, P)].add(jnp.where(ii_ok[:, None], vi, 0.0))
-            .at[jnp.where(jj_ok, jjw, P)].add(jnp.where(jj_ok[:, None], vj, 0.0))
-        )[:P]
+            jnp.zeros((MW, 6)).at[ii].add(vi).at[jj].add(vj)
+        )
+        v = v * free[:, None]
 
-        A_pose = _pose_matrix(Hmat, P)
-        v_flat = v.reshape(6 * P)
+        A_pose = _mask_fixed(_pose_matrix(Hmat, MW), free6)
+        v_flat = v.reshape(6 * MW)
 
         if motion_only:
-            dx = _damped_solve(A_pose, v_flat, lm, ep).reshape(P, 6)
+            dx = _damped_solve(A_pose, v_flat, lm, ep).reshape(MW, 6)
         else:
             # depth diagonal + rhs with RGB-D prior mixing (alpha = 0.05)
-            seg = jnp.clip(ii, 0, M - 1)
-            C = jax.ops.segment_sum(Ck, seg, num_segments=M)
-            w = jax.ops.segment_sum(wk, seg, num_segments=M)
-            dsens = disps_sens[:M].reshape(M, HW)
+            C = jax.ops.segment_sum(Ck, ii, num_segments=MW)
+            w = jax.ops.segment_sum(wk, ii, num_segments=MW)
+            dsens = disps_sens.reshape(MW, HW)
             m = (dsens > 0).astype(C.dtype)
-            C = C + m * alpha + (1.0 - m) * eta.reshape(M, HW)
-            w = w - m * alpha * (disps[:M].reshape(M, HW) - dsens)
+            C = C + m * alpha + (1.0 - m) * eta.reshape(MW, HW)
+            w = w - m * alpha * (disps.reshape(MW, HW) - dsens)
             Q = 1.0 / C
 
             # E rows grouped per depth bucket: anchor row (sum of Ei) + edges' Ej
-            A_rows = jax.ops.segment_sum(Ei, seg, num_segments=M)  # [M,6,HW]
-            Gedges = Ej[bucket_edges] * bucket_mask[..., None, None]  # [M,R-?,6,HW]
-            G = jnp.concatenate([A_rows[:, None], Gedges], axis=1)  # [M,R,6,HW]
+            A_rows = jax.ops.segment_sum(Ei, ii, num_segments=MW)  # [MW,6,HW]
+            Gedges = Ej[bucket_edges] * bucket_mask[..., None, None]
+            G = jnp.concatenate([A_rows[:, None], Gedges], axis=1)  # [MW,R,6,HW]
             pose_idx = jnp.concatenate(
-                [jnp.arange(M)[:, None] - t0, jjw[bucket_edges]], axis=1
-            )  # [M,R]
-            row_ok = jnp.concatenate(
-                [jnp.ones((M, 1), bool), bucket_mask], axis=1
-            ) & (pose_idx >= 0) & (pose_idx < P)
-
-            GQ = G * Q[:, None, None, :]
-            Sk = jnp.einsum("mrah,msbh->mrsab", GQ, G)  # [M,R,R,6,6]
-            pair_ok = row_ok[:, :, None] & row_ok[:, None, :]
-            S = _scatter_blocks(
-                Sk, pose_idx[:, :, None], pose_idx[:, None, :], pair_ok, P
+                [jnp.arange(MW, dtype=ii.dtype)[:, None], jj[bucket_edges]], axis=1
+            )  # [MW,R]
+            row_ok = (
+                jnp.concatenate([jnp.ones((MW, 1), bool), bucket_mask], axis=1)
+                & free_mask[pose_idx]
             )
 
+            GQ = G * Q[:, None, None, :]
+            Sk = jnp.einsum(
+                "mrah,msbh->mrsab", GQ, G, preferred_element_type=jnp.float32
+            )
+            pair_ok = row_ok[:, :, None] & row_ok[:, None, :]
+            S = _scatter_blocks(Sk, pose_idx[:, :, None], pose_idx[:, None, :], pair_ok, MW)
+
             # rhs reduction: v' = v - E Q w
-            Ew = jnp.einsum("mrah,mh->mra", GQ, w)  # [M,R,6]
+            Ew = jnp.einsum("mrah,mh->mra", GQ, w)
             Ew = jnp.where(row_ok[..., None], Ew, 0.0)
             vE = (
-                jnp.zeros((P + 1, 6))
-                .at[jnp.where(row_ok, pose_idx, P).reshape(-1)]
+                jnp.zeros((MW + 1, 6))
+                .at[jnp.where(row_ok, pose_idx, MW).reshape(-1)]
                 .add(Ew.reshape(-1, 6))
-            )[:P]
+            )[:MW]
 
-            S_pose = A_pose - _pose_matrix(S, P)
-            rhs = v_flat - vE.reshape(6 * P)
-            dx = _damped_solve(S_pose, rhs, lm, ep).reshape(P, 6)
+            S_pose = A_pose - _pose_matrix(S, MW)
+            rhs = v_flat - (vE * free[:, None]).reshape(6 * MW)
+            dx = _damped_solve(S_pose, rhs, lm, ep).reshape(MW, 6)
+            dx = dx * free[:, None]
 
             # back-substitute depths: dz = Q (w - E^T dx)
-            dx_rows = jnp.where(
-                row_ok[..., None], dx[jnp.clip(pose_idx, 0, P - 1)], 0.0
-            )  # [M,R,6]
+            dx_rows = jnp.where(row_ok[..., None], dx[pose_idx], 0.0)
             Etdx = jnp.einsum("mrah,mra->mh", G, dx_rows)
             dz = Q * (w - Etdx)
+            disps = disps + dz.reshape(MW, H, W)
 
-            disps = disps.at[:M].add(dz.reshape(M, H, W))
-
-        dx_full = jnp.zeros((poses.shape[0], 6)).at[t0:t1].set(dx)
-        poses = se3_retr(poses, dx_full)
+        dx = dx * free[:, None]
+        poses = se3_retr(poses, dx)
         return poses, disps
 
     poses, disps = jax.lax.fori_loop(0, iterations, iteration, (poses, disps))

@@ -144,11 +144,12 @@ class TestSolverParity:
         )
 
         be, bm = schur_pairs(np.asarray(ii), P)
+        free = jnp.arange(P) >= 1
         p_solve, d_solve = ba_solve(
             poses0, disps0, intr, jnp.zeros_like(disps0),
             target, weight, eta + 1e-7, jnp.asarray(ii), jnp.asarray(jj),
-            jnp.asarray(be), jnp.asarray(bm),
-            t0=1, t1=P, iterations=1, motion_only=False, min_depth=0.2, lm=0.0,
+            free, jnp.asarray(be), jnp.asarray(bm),
+            iterations=1, motion_only=False, min_depth=0.2, lm=0.0,
         )
 
         np.testing.assert_allclose(np.asarray(p_solve), np.asarray(p_dense[0]), atol=2e-4)
@@ -169,11 +170,12 @@ class TestSolverParity:
                        intr_full[None], ii, jj, fixedp=1, min_depth=0.2)
 
         be, bm = schur_pairs(np.asarray(ii), P)
+        free = jnp.arange(P) >= 1
         p_solve, _ = ba_solve(
             poses0, disps, intr, jnp.zeros_like(disps),
             target, weight, eta[0], jnp.asarray(ii), jnp.asarray(jj),
-            jnp.asarray(be), jnp.asarray(bm),
-            t0=1, t1=P, iterations=1, motion_only=True, min_depth=0.2,
+            free, jnp.asarray(be), jnp.asarray(bm),
+            iterations=1, motion_only=True, min_depth=0.2,
         )
         np.testing.assert_allclose(np.asarray(p_solve), np.asarray(p_dense[0]), atol=2e-4)
 
@@ -187,11 +189,12 @@ class TestSolverParity:
 
         r0 = mean_residual(poses0, disps0, intr, ii, jj, target)
         be, bm = schur_pairs(np.asarray(ii), P)
+        free = jnp.arange(P) >= 1
         p, d = ba_solve(
             poses0, disps0, intr, jnp.zeros_like(disps0),
             target, weight, 1e-5 * jnp.ones((P, H, W)),
-            jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(be), jnp.asarray(bm),
-            t0=1, t1=P, iterations=10, motion_only=False, min_depth=0.2,
+            jnp.asarray(ii), jnp.asarray(jj), free, jnp.asarray(be), jnp.asarray(bm),
+            iterations=10, motion_only=False, min_depth=0.2,
         )
         r1 = mean_residual(p, d, intr, ii, jj, target)
         assert r1 < 0.05 * r0, (r0, r1)
@@ -202,11 +205,12 @@ class TestSolverParity:
         P = poses.shape[0]
         disps_sens = disps * 1.3  # sensor says depths are different
         be, bm = schur_pairs(np.asarray(ii), P)
+        free = jnp.arange(P) >= 1
         _, d = ba_solve(
             poses, disps, intr, disps_sens,
             target, 0.0 * weight, 1e-4 * jnp.ones((P, H, W)),
-            jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(be), jnp.asarray(bm),
-            t0=1, t1=P, iterations=3, motion_only=False, min_depth=0.2,
+            jnp.asarray(ii), jnp.asarray(jj), free, jnp.asarray(be), jnp.asarray(bm),
+            iterations=3, motion_only=False, min_depth=0.2,
         )
         # with zero image weight the prior alone should move disps toward sensor
         err0 = float(jnp.mean(jnp.abs(disps - disps_sens)))
@@ -229,11 +233,12 @@ class TestStereoEdges:
         weight = jnp.ones_like(target) * valid
 
         be, bm = schur_pairs(ii, P)
+        free = jnp.arange(P) >= 1
         p, d = ba_solve(
             poses, disps, intr, jnp.zeros_like(disps),
             target[0], weight[0], 1e-5 * jnp.ones((P, H, W)),
-            jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(be), jnp.asarray(bm),
-            t0=1, t1=P, iterations=2, motion_only=False, min_depth=0.2,
+            jnp.asarray(ii), jnp.asarray(jj), free, jnp.asarray(be), jnp.asarray(bm),
+            iterations=2, motion_only=False, min_depth=0.2,
         )
         np.testing.assert_allclose(np.asarray(p), np.asarray(poses), atol=1e-5)
         # disparities moved toward the 1.2x target
