@@ -1,0 +1,127 @@
+"""Droid facade (reference droid.py:17-154) and the multisession SDroid
+variant (reference s_droid.py:20-112)."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..lie import se3_inv
+from ..models import DroidNet, load_torch_checkpoint
+from ..utils import DroidConfig
+from .backend import Backend
+from .frontend import Frontend
+from .motion_filter import MotionFilter, SessionMotionFilter
+from .net_ops import make_applies
+from .trajectory_filler import TrajectoryFiller
+from .video import Video
+
+
+def init_params(config, seed=0):
+    """Load converted droid.pth weights, or random-init (tests)."""
+    if config.weights and os.path.exists(config.weights):
+        if config.weights.endswith((".pth", ".pt")):
+            return load_torch_checkpoint(config.weights)["params"]
+        data = np.load(config.weights, allow_pickle=True)
+        return jax.tree_util.tree_map(jnp.asarray, data["params"].item())
+
+    net = DroidNet()
+    h, w = config.image_size
+    from ..lie import se3_identity
+
+    variables = net.init(
+        jax.random.PRNGKey(seed),
+        se3_identity((1, 2)),
+        jnp.zeros((1, 2, h, w, 3)),
+        jnp.ones((1, 2, h // 8, w // 8)),
+        jnp.broadcast_to(jnp.array([w / 2.0, w / 2.0, w / 2.0, h / 2.0]), (1, 2, 4)),
+        np.array([0, 1]),
+        np.array([1, 0]),
+        1,
+    )
+    return variables["params"]
+
+
+class Droid:
+    """Facade: filter -> frontend -> backend -> trajectory filler."""
+
+    filter_cls = MotionFilter
+
+    def __init__(self, config: DroidConfig, params=None):
+        self.cfg = config
+        self.dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
+        self.params = params if params is not None else init_params(config)
+        self.applies = make_applies(config.compute_dtype)
+
+        self.video = Video(config)
+        self.filterx = self.filter_cls(
+            self.applies, self.params, self.video,
+            thresh=config.filter_thresh, dtype=self.dtype,
+        )
+        self.frontend = Frontend(self.applies, self.params, self.video, config, dtype=self.dtype)
+        self.backend = Backend(self.applies, self.params, self.video, config, dtype=self.dtype)
+        self.traj_filler = TrajectoryFiller(self.applies, self.params, self.video, config, dtype=self.dtype)
+
+    def track(self, tstamp, image, depth=None, intrinsics=None):
+        """Per-frame tracking (reference droid.py:76-90)."""
+        self.filterx.track(tstamp, image, depth, intrinsics)
+        self.frontend()
+
+    def terminate(self, stream=None):
+        """Global refinement (reference droid.py:114-126)."""
+        del self.frontend
+        self.backend(self.cfg.backend_steps_first)
+        self.backend(self.cfg.backend_steps_second)
+
+    def terminate_eva(self, stream=None):
+        """Backend + trajectory fill; returns camera trajectory [T, 7]
+        (world-to-camera inverted, reference droid.py:132-146)."""
+        del self.frontend
+        self.backend(self.cfg.backend_steps_first)
+        self.backend(self.cfg.backend_steps_second)
+        poses = self.traj_filler(stream)
+        return np.asarray(se3_inv(jnp.asarray(poses)))
+
+    def terminate_eva_second(self, stream=None):
+        """Trajectory fill only (reference droid.py:148-153)."""
+        del self.frontend
+        poses = self.traj_filler(stream)
+        return np.asarray(se3_inv(jnp.asarray(poses)))
+
+    def save_reconstruction(self, path):
+        """Dump the session state (reference droid.py:92-106)."""
+        os.makedirs(path, exist_ok=True)
+        state = self.video.state_dict()
+        np.savez_compressed(os.path.join(path, "reconstruction.npz"), **state)
+        for k, v in state.items():
+            np.save(os.path.join(path, f"{k}.npy"), v)
+
+    def save_backend_finished_poses(self, path):
+        """reference droid.py:108-111."""
+        os.makedirs(path, exist_ok=True)
+        t = self.video.counter
+        np.save(
+            os.path.join(path, "backend_finished_poses.npy"),
+            np.asarray(self.video.poses[:t]),
+        )
+
+
+class SDroid(Droid):
+    """Multisession variant (reference s_droid.py:20-112): session-aware
+    motion filter (preloaded pose/disp survive) and a quality-gated frontend
+    mode; terminate() runs the double backend without trajectory filling."""
+
+    filter_cls = SessionMotionFilter
+
+    def __init__(self, config, params=None):
+        super().__init__(config, params)
+        from .frontend import SessionFrontend
+
+        self.frontend = SessionFrontend(
+            self.applies, self.params, self.video, config, dtype=self.dtype
+        )
+
+    def terminate(self, stream=None):
+        del self.frontend
+        self.backend(self.cfg.backend_steps_first)
+        self.backend(self.cfg.backend_steps_second)

@@ -1,0 +1,471 @@
+"""Covisibility factor graph (reference factor_graph.py:11-379).
+
+Host numpy owns the edge bookkeeping (add/remove/dedup/NMS — all
+data-dependent control flow, as in the reference); the numeric hot path is
+one fused jit program per update: reproject -> motion features -> fused
+correlation (altcorr over the video's feature pyramid) -> ConvGRU update
+operator -> graph aggregation.  Dense BA then runs through
+``Video.ba`` (static-shape windowed solver).
+
+Design deltas vs the reference:
+- correlation is always the fused on-the-fly kind; no O(N H^2 W^2) volumes
+  are ever materialized (the reference uses volumes in the frontend,
+  factor_graph.py:112-117, and altcorr only in the backend) — on TPU the
+  fused path is MXU-bound and strictly better;
+- edge counts and aggregation windows are padded to buckets so jit
+  signatures recur.
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geom import projective_transform, coords_grid
+from ..ops import altcorr_pyramid, pool2x_fmap
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+@partial(jax.jit, static_argnames=("apply_fn", "num_segments", "dtype"))
+def _update_op_step(
+    apply_fn,
+    params,
+    poses,
+    disps,
+    intrinsics,
+    fmaps,
+    nets_e,
+    inps_e,
+    target,
+    ii,
+    jj,
+    cams,
+    kk,
+    num_segments,
+    dtype=jnp.float32,
+):
+    """Fused per-edge update: reproject + motion + fused corr + GRU + agg.
+
+    Mirrors reference factor_graph.py:198-234 (and the per-chunk body of
+    update_lowmem :271-290) as a single XLA program.
+    """
+    h8, w8 = disps.shape[-2:]
+    coords0 = coords_grid(h8, w8)
+
+    coords1, _ = projective_transform(
+        poses[None], disps[None], intrinsics[None], ii, jj
+    )
+    coords1 = coords1[0]
+    motn = jnp.concatenate([coords1 - coords0, target - coords1], axis=-1)
+    motn = jnp.clip(motn, -64.0, 64.0)
+
+    # fused correlation over a 4-level feature pyramid
+    f1 = fmaps[ii, 0]
+    f2 = fmaps[jj, cams]
+    pyr = [f2]
+    for _ in range(3):
+        pyr.append(pool2x_fmap(pyr[-1]))
+    corr = altcorr_pyramid(f1, pyr, coords1)
+
+    net, delta, weight, eta, upmask = apply_fn(
+        params,
+        nets_e[None],
+        inps_e[None],
+        corr[None].astype(dtype),
+        motn[None].astype(dtype),
+        kk,
+        num_segments,
+    )
+
+    target_new = coords1 + delta[0].astype(jnp.float32)
+    weight_new = weight[0].astype(jnp.float32)
+    return net[0], target_new, weight_new, eta[0].astype(jnp.float32), upmask[0], coords1
+
+
+class FactorGraph:
+    def __init__(self, video, update_apply, params, max_factors=-1, upsample=False,
+                 dtype=jnp.float32):
+        self.video = video
+        self.update_apply = update_apply  # UpdateModule apply(params, ...)
+        self.params = params
+        self.max_factors = max_factors
+        self.upsample = upsample
+        self.dtype = dtype
+        cfg = video.cfg
+        self.cfg = cfg
+
+        self.ii = np.zeros(0, np.int64)
+        self.jj = np.zeros(0, np.int64)
+        self.age = np.zeros(0, np.int64)
+
+        h8, w8 = video.h8, video.w8
+        self.net = jnp.zeros((0, h8, w8, 128), dtype)
+        self.target = jnp.zeros((0, h8, w8, 2), jnp.float32)
+        self.weight = jnp.zeros((0, h8, w8, 2), jnp.float32)
+
+        # inactive / bad stores (reference :36-42)
+        self.ii_inac = np.zeros(0, np.int64)
+        self.jj_inac = np.zeros(0, np.int64)
+        self.target_inac = jnp.zeros((0, h8, w8, 2), jnp.float32)
+        self.weight_inac = jnp.zeros((0, h8, w8, 2), jnp.float32)
+        self.ii_bad = np.zeros(0, np.int64)
+        self.jj_bad = np.zeros(0, np.int64)
+
+    # ------------------------------------------------------------- edge mgmt
+
+    def _dedup(self, ii, jj):
+        """Drop edges already present (active or inactive) (reference :44-55)."""
+        eset = set(zip(self.ii.tolist(), self.jj.tolist())) | set(
+            zip(self.ii_inac.tolist(), self.jj_inac.tolist())
+        )
+        keep = np.array(
+            [(i, j) not in eset for i, j in zip(ii.tolist(), jj.tolist())], dtype=bool
+        )
+        return ii[keep], jj[keep]
+
+    def add_factors(self, ii, jj, remove=False):
+        """Add edges (reference :86-134)."""
+        ii = np.asarray(ii, np.int64).reshape(-1)
+        jj = np.asarray(jj, np.int64).reshape(-1)
+        ii, jj = self._dedup(ii, jj)
+        if len(ii) == 0:
+            return
+
+        # cap total factor count, evicting the oldest (reference :103-107)
+        if (
+            self.max_factors > 0
+            and len(self.ii) + len(ii) > self.max_factors
+            and len(self.ii) > 0
+            and remove
+        ):
+            ix = np.argsort(self.age)[::-1]  # oldest = highest age
+            n_evict = len(self.ii) + len(ii) - self.max_factors
+            mask = np.zeros(len(self.ii), bool)
+            mask[ix[:n_evict]] = True
+            self.rm_factors(mask, store=True)
+
+        net = self.video.nets[jnp.asarray(ii)]
+        target, _ = self.video.reproject(ii, jj)
+        target = target[0]
+
+        self.ii = np.concatenate([self.ii, ii])
+        self.jj = np.concatenate([self.jj, jj])
+        self.age = np.concatenate([self.age, np.zeros(len(ii), np.int64)])
+        self.net = jnp.concatenate([self.net, net.astype(self.net.dtype)], 0)
+        self.target = jnp.concatenate([self.target, target], 0)
+        self.weight = jnp.concatenate([self.weight, jnp.zeros_like(target)], 0)
+
+    def rm_factors(self, mask, store=False):
+        """Remove edges; optionally store as inactive (reference :137-161)."""
+        mask = np.asarray(mask, bool)
+        if store and mask.any():
+            self.ii_inac = np.concatenate([self.ii_inac, self.ii[mask]])
+            self.jj_inac = np.concatenate([self.jj_inac, self.jj[mask]])
+            keep_d = jnp.asarray(mask)
+            self.target_inac = jnp.concatenate(
+                [self.target_inac, self.target[keep_d]], 0
+            )
+            self.weight_inac = jnp.concatenate(
+                [self.weight_inac, self.weight[keep_d]], 0
+            )
+        keep = ~mask
+        self.ii, self.jj, self.age = self.ii[keep], self.jj[keep], self.age[keep]
+        kd = jnp.asarray(keep)
+        self.net = self.net[kd]
+        self.target = self.target[kd]
+        self.weight = self.weight[kd]
+
+    def rm_keyframe(self, ix):
+        """Drop keyframe ix: shift buffers, reindex edges (reference :165-194)."""
+        self.video.remove_keyframe(ix)
+
+        m = (self.ii_inac == ix) | (self.jj_inac == ix)
+        self.ii_inac = np.where(self.ii_inac >= ix, self.ii_inac - 1, self.ii_inac)
+        self.jj_inac = np.where(self.jj_inac >= ix, self.jj_inac - 1, self.jj_inac)
+        if m.any():
+            keep = jnp.asarray(~m)
+            self.ii_inac = self.ii_inac[~m]
+            self.jj_inac = self.jj_inac[~m]
+            self.target_inac = self.target_inac[keep]
+            self.weight_inac = self.weight_inac[keep]
+
+        m = (self.ii == ix) | (self.jj == ix)
+        self.ii = np.where(self.ii >= ix, self.ii - 1, self.ii)
+        self.jj = np.where(self.jj >= ix, self.jj - 1, self.jj)
+        self.rm_factors(m, store=False)
+
+    def filter_edges(self):
+        """Cull low-confidence long-range edges (reference :71-78)."""
+        conf = np.asarray(jnp.mean(self.weight, axis=(1, 2, 3)))
+        mask = (np.abs(self.ii - self.jj) > 2) & (conf < 0.001)
+        self.ii_bad = np.concatenate([self.ii_bad, self.ii[mask]])
+        self.jj_bad = np.concatenate([self.jj_bad, self.jj[mask]])
+        self.rm_factors(mask, store=False)
+
+    def clear_edges(self):
+        self.rm_factors(np.ones(len(self.ii), bool))
+        self.net = jnp.zeros((0,) + self.net.shape[1:], self.net.dtype)
+
+    # ----------------------------------------------------------------- update
+
+    def _padded_edges(self):
+        """Pad edge arrays to the bucketed count with (0,0) zero-weight edges."""
+        n = len(self.ii)
+        n_pad = _round_up(max(n, 1), self.cfg.edge_bucket)
+        ii = np.zeros(n_pad, np.int32)
+        jj = np.zeros(n_pad, np.int32)
+        ii[:n] = self.ii
+        jj[:n] = self.jj
+        return n, n_pad, ii, jj
+
+    def update(self, t0=None, t1=None, itrs=2, use_inactive=False, EP=1e-7,
+               motion_only=False):
+        """One GRU + DBA round (reference factor_graph.py:198-250)."""
+        if len(self.ii) == 0:
+            return
+        video = self.video
+        n, n_pad, ii_p, jj_p = self._padded_edges()
+
+        # aggregation window [m0, t1) bucketed
+        t1_eff = int(max(self.ii.max(), self.jj.max())) + 1
+        m0 = int(self.ii.min())
+        MW = _round_up(t1_eff - m0, self.cfg.window_bucket)
+        m0 = max(0, t1_eff - MW)
+        kk = np.clip(ii_p - m0, 0, MW - 1).astype(np.int32)
+        cams = ((ii_p == jj_p) & video.stereo).astype(np.int32)
+
+        # pad edge state
+        h8, w8 = video.h8, video.w8
+        pad = n_pad - n
+        net_e = jnp.concatenate(
+            [self.net, jnp.zeros((pad, h8, w8, 128), self.net.dtype)], 0
+        )
+        inp_e = video.inps[jnp.asarray(ii_p)]
+        target_e = jnp.concatenate(
+            [self.target, jnp.zeros((pad, h8, w8, 2), jnp.float32)], 0
+        )
+
+        net, target, weight, eta, upmask, _ = _update_op_step(
+            self.update_apply, self.params,
+            video.poses, video.disps, video.intrinsics, video.fmaps,
+            net_e, inp_e, target_e,
+            jnp.asarray(ii_p), jnp.asarray(jj_p), jnp.asarray(cams),
+            jnp.asarray(kk), MW, dtype=self.dtype,
+        )
+
+        self.net = net[:n]
+        self.target = target[:n]
+        self.weight = weight[:n]
+
+        # persist damping for frames that have outgoing edges (reference :221)
+        has_edge = np.zeros(MW, bool)
+        has_edge[self.ii - m0] = True
+        dwin = video.damping[m0 : m0 + MW]
+        dwin = jnp.where(jnp.asarray(has_edge)[:, None, None], eta, dwin)
+        video.damping = video.damping.at[m0 : m0 + MW].set(dwin)
+
+        if t0 is None:
+            t0 = max(1, int(self.ii.min()) + 1)
+        if t1 is None:
+            t1 = int(max(self.ii.max(), self.jj.max())) + 1
+
+        if use_inactive:
+            m = (self.ii_inac >= t0 - 3) & (self.jj_inac >= t0 - 3)
+            ii_ba = np.concatenate([self.ii_inac[m], self.ii])
+            jj_ba = np.concatenate([self.jj_inac[m], self.jj])
+            target_ba = jnp.concatenate([self.target_inac[jnp.asarray(m)], self.target], 0)
+            weight_ba = jnp.concatenate([self.weight_inac[jnp.asarray(m)], self.weight], 0)
+        else:
+            ii_ba, jj_ba = self.ii, self.jj
+            target_ba, weight_ba = self.target, self.weight
+
+        video.ba(
+            target_ba, weight_ba, None, ii_ba, jj_ba, t0, t1,
+            iterations=itrs, lm=self.cfg.frontend_lm, ep=self.cfg.frontend_ep,
+            motion_only=motion_only,
+        )
+
+        if self.upsample:
+            ux = np.unique(self.ii)
+            sel = jnp.asarray(ux - m0)
+            video.upsample(jnp.asarray(ux), upmask[sel].astype(jnp.float32))
+
+        self.age += 1
+
+    def probe_quality(self):
+        """Run the update op once (no BA) and return per-edge summed
+        confidence weights — the multisession match-quality signal
+        (reference s_droid_frontend.py:116-146).  Updates edge hidden
+        states only, as the reference does."""
+        if len(self.ii) == 0:
+            return np.zeros(0)
+        video = self.video
+        n, n_pad, ii_p, jj_p = self._padded_edges()
+        t1_eff = int(max(self.ii.max(), self.jj.max())) + 1
+        m0 = int(self.ii.min())
+        MW = _round_up(t1_eff - m0, self.cfg.window_bucket)
+        m0 = max(0, t1_eff - MW)
+        kk = np.clip(ii_p - m0, 0, MW - 1).astype(np.int32)
+        cams = ((ii_p == jj_p) & video.stereo).astype(np.int32)
+
+        h8, w8 = video.h8, video.w8
+        pad = n_pad - n
+        net_e = jnp.concatenate(
+            [self.net, jnp.zeros((pad, h8, w8, 128), self.net.dtype)], 0
+        )
+        inp_e = video.inps[jnp.asarray(ii_p)]
+        target_e = jnp.concatenate(
+            [self.target, jnp.zeros((pad, h8, w8, 2), jnp.float32)], 0
+        )
+        net, _, weight, _, _, _ = _update_op_step(
+            self.update_apply, self.params,
+            video.poses, video.disps, video.intrinsics, video.fmaps,
+            net_e, inp_e, target_e,
+            jnp.asarray(ii_p), jnp.asarray(jj_p), jnp.asarray(cams),
+            jnp.asarray(kk), MW, dtype=self.dtype,
+        )
+        self.net = net[:n]
+        return np.asarray(jnp.sum(weight[:n], axis=(1, 2, 3)))
+
+    def update_lowmem(self, steps=8, itrs=2, EP=1e-7):
+        """Global BA over all edges, chunked over source frames
+        (reference factor_graph.py:253-300)."""
+        video = self.video
+        t = video.counter
+        s = 8  # source-frame chunk (reference :270)
+
+        for step in range(steps):
+            # refresh motion features chunk by chunk
+            order = np.argsort(self.ii, kind="stable")
+            for i0 in range(0, int(self.jj.max()) + 1, s):
+                sel = order[(self.ii[order] >= i0) & (self.ii[order] < i0 + s)]
+                if len(sel) == 0:
+                    continue
+                self._update_chunk(sel)
+
+            # one dense BA over the whole window (reference :297)
+            video.ba(
+                self.target, self.weight, None, self.ii, self.jj, 1, t,
+                iterations=itrs, lm=self.cfg.backend_lm, ep=self.cfg.backend_ep,
+            )
+            video.dirty[:t] = True
+
+    def _update_chunk(self, sel):
+        """Run the update op on a subset of edges (no BA)."""
+        video = self.video
+        n = len(sel)
+        n_pad = _round_up(n, self.cfg.edge_bucket)
+        ii_p = np.zeros(n_pad, np.int32)
+        jj_p = np.zeros(n_pad, np.int32)
+        ii_p[:n] = self.ii[sel]
+        jj_p[:n] = self.jj[sel]
+
+        t1_eff = int(ii_p[:n].max()) + 1
+        m0 = int(ii_p[:n].min())
+        MW = _round_up(t1_eff - m0, self.cfg.window_bucket)
+        m0 = max(0, t1_eff - MW)
+        kk = np.clip(ii_p - m0, 0, MW - 1).astype(np.int32)
+        cams = ((ii_p == jj_p) & video.stereo).astype(np.int32)
+
+        h8, w8 = video.h8, video.w8
+        sel_d = jnp.asarray(sel)
+        pad = n_pad - n
+        net_e = jnp.concatenate(
+            [self.net[sel_d], jnp.zeros((pad, h8, w8, 128), self.net.dtype)], 0
+        )
+        inp_e = video.inps[jnp.asarray(ii_p)]
+        target_e = jnp.concatenate(
+            [self.target[sel_d], jnp.zeros((pad, h8, w8, 2), jnp.float32)], 0
+        )
+
+        net, target, weight, eta, upmask, _ = _update_op_step(
+            self.update_apply, self.params,
+            video.poses, video.disps, video.intrinsics, video.fmaps,
+            net_e, inp_e, target_e,
+            jnp.asarray(ii_p), jnp.asarray(jj_p), jnp.asarray(cams),
+            jnp.asarray(kk), MW, dtype=self.dtype,
+        )
+
+        self.net = self.net.at[sel_d].set(net[:n])
+        self.target = self.target.at[sel_d].set(target[:n])
+        self.weight = self.weight.at[sel_d].set(weight[:n])
+
+        has_edge = np.zeros(MW, bool)
+        has_edge[self.ii[sel] - m0] = True
+        dwin = video.damping[m0 : m0 + MW]
+        dwin = jnp.where(jnp.asarray(has_edge)[:, None, None], eta, dwin)
+        video.damping = video.damping.at[m0 : m0 + MW].set(dwin)
+
+        if self.upsample:
+            ux = np.unique(self.ii[sel])
+            video.upsample(jnp.asarray(ux), upmask[jnp.asarray(ux - m0)].astype(jnp.float32))
+
+    # ------------------------------------------------------- edge proposals
+
+    def add_neighborhood_factors(self, t0, t1, r=3):
+        """Edges between frames within radius r (reference :302-312)."""
+        ii, jj = np.meshgrid(np.arange(t0, t1), np.arange(t0, t1), indexing="ij")
+        ii, jj = ii.reshape(-1), jj.reshape(-1)
+        c = 1 if self.video.stereo else 0
+        keep = (np.abs(ii - jj) > c) & (np.abs(ii - jj) <= r)
+        self.add_factors(ii[keep], jj[keep])
+
+    def add_proximity_factors(self, t0=0, t1=0, rad=2, nms=2, beta=0.25,
+                              thresh=16.0, remove=False):
+        """Distance-based edge selection with NMS (reference :315-379)."""
+        t = self.video.counter
+        ix = np.arange(t0, t)
+        jx = np.arange(t1, t)
+        if len(ix) == 0 or len(jx) == 0:
+            return
+        d = self.video.distance_matrix(t0, t1, t, beta=beta)  # [len(ix), len(jx)]
+        ii, jj = np.meshgrid(ix, jx, indexing="ij")
+        d = d.reshape(-1).astype(np.float64)
+        ii = ii.reshape(-1)
+        jj = jj.reshape(-1)
+
+        d[ii - rad < jj] = np.inf
+        d[d > 100] = np.inf
+
+        def suppress(i, j):
+            for di in range(-nms, nms + 1):
+                for dj in range(-nms, nms + 1):
+                    if abs(di) + abs(dj) <= max(min(abs(i - j) - 2, nms), 0):
+                        i1, j1 = i + di, j + dj
+                        if (t0 <= i1 < t) and (t1 <= j1 < t):
+                            d[(i1 - t0) * (t - t1) + (j1 - t1)] = np.inf
+
+        # suppress around existing edges (reference :330-340)
+        ii1 = np.concatenate([self.ii, self.ii_bad, self.ii_inac])
+        jj1 = np.concatenate([self.jj, self.jj_bad, self.jj_inac])
+        for i, j in zip(ii1.tolist(), jj1.tolist()):
+            suppress(i, j)
+
+        es = []
+        for i in range(t0, t):
+            if self.video.stereo:
+                es.append((i, i))
+                d[(i - t0) * (t - t1) + (i - t1)] = np.inf
+            for j in range(max(i - rad - 1, 0), i):
+                es.append((i, j))
+                es.append((j, i))
+                if t1 <= j < t:
+                    d[(i - t0) * (t - t1) + (j - t1)] = np.inf
+
+        # greedy thresholded selection (reference :354-376)
+        for k in np.argsort(d):
+            if d[k] > thresh:
+                break
+            if self.max_factors > 0 and len(es) > self.max_factors:
+                break
+            i, j = int(ii[k]), int(jj[k])
+            es.append((i, j))
+            es.append((j, i))
+            suppress(i, j)
+
+        if es:
+            es = np.asarray(es, np.int64)
+            self.add_factors(es[:, 0], es[:, 1], remove)

@@ -1,0 +1,180 @@
+"""Local tracking frontend (reference droid_frontend.py:9-121)."""
+import numpy as np
+
+from .factor_graph import FactorGraph
+
+
+class Frontend:
+    def __init__(self, applies, params, video, config, dtype=None):
+        import jax.numpy as jnp
+
+        self.video = video
+        self.cfg = config
+        self.graph = FactorGraph(
+            video, applies["update"], params,
+            max_factors=config.max_factors, upsample=config.upsample,
+            dtype=dtype or jnp.float32,
+        )
+
+        self.t0 = 0
+        self.t1 = 0
+        self.is_initialized = False
+        self.count = 0
+
+        self.max_age = config.max_age
+        self.iters1 = config.iters1
+        self.iters2 = config.iters2
+        self.warmup = config.warmup
+        self.beta = config.beta
+        self.frontend_nms = config.frontend_nms
+        self.keyframe_thresh = config.keyframe_thresh
+        self.frontend_window = config.frontend_window
+        self.frontend_thresh = config.frontend_thresh
+        self.frontend_radius = config.frontend_radius
+
+    def __update(self):
+        """Add edges, perform update (reference :37-75)."""
+        import jax.numpy as jnp
+
+        self.count += 1
+        self.t1 += 1
+
+        if len(self.graph.ii) > 0:
+            self.graph.rm_factors(self.graph.age > self.max_age, store=True)
+
+        self.graph.add_proximity_factors(
+            self.t1 - 5, max(self.t1 - self.frontend_window, 0),
+            rad=self.frontend_radius, nms=self.frontend_nms,
+            thresh=self.frontend_thresh, beta=self.beta, remove=True,
+        )
+
+        # RGB-D: seed new keyframe's disparity from the sensor (reference :49-50)
+        v = self.video
+        dsens = v.disps_sens[self.t1 - 1]
+        v.disps = v.disps.at[self.t1 - 1].set(
+            jnp.where(dsens > 0, dsens, v.disps[self.t1 - 1])
+        )
+
+        for _ in range(self.iters1):
+            self.graph.update(None, None, use_inactive=True)
+
+        # keyframe culling by flow distance (reference :56-64)
+        d = self.video.distance(
+            [self.t1 - 3], [self.t1 - 2], beta=self.beta, bidirectional=True
+        )
+        if float(d[0]) < self.keyframe_thresh:
+            self.graph.rm_keyframe(self.t1 - 2)
+            self.video.counter -= 1
+            self.t1 -= 1
+        else:
+            for _ in range(self.iters2):
+                self.graph.update(None, None, use_inactive=True)
+
+        # initialize next frame's pose/disp by copy (reference :71-72)
+        v.poses = v.poses.at[self.t1].set(v.poses[self.t1 - 1])
+        v.disps = v.disps.at[self.t1].set(jnp.mean(v.disps[self.t1 - 1]))
+
+        self.video.dirty[int(self.graph.ii.min()) : self.t1] = True
+
+    def __initialize(self):
+        """Bootstrap the map (reference :77-110)."""
+        import jax.numpy as jnp
+
+        v = self.video
+        self.t0 = 0
+        self.t1 = v.counter
+
+        self.graph.add_neighborhood_factors(self.t0, self.t1, r=3)
+        for _ in range(self.cfg.init_iters):
+            self.graph.update(1, use_inactive=True)
+
+        self.graph.add_proximity_factors(
+            0, 0, rad=2, nms=2, thresh=self.frontend_thresh, remove=False
+        )
+        for _ in range(self.cfg.init_iters):
+            self.graph.update(1, use_inactive=True)
+
+        v.poses = v.poses.at[self.t1].set(v.poses[self.t1 - 1])
+        v.disps = v.disps.at[self.t1].set(jnp.mean(v.disps[self.t1 - 4 : self.t1]))
+
+        self.is_initialized = True
+        self.video.dirty[: self.t1] = True
+        self.graph.rm_factors(self.graph.ii < self.warmup - 4, store=True)
+
+    def __call__(self):
+        """Main update (reference :112-121)."""
+        if not self.is_initialized and self.video.counter == self.warmup:
+            self.__initialize()
+        elif self.is_initialized and self.t1 < self.video.counter:
+            self._do_update()
+
+    def _do_update(self):
+        self.__update()
+
+
+class SessionFrontend(Frontend):
+    """Multisession frontend with confidence-gated keyframe acceptance
+    (reference s_droid_frontend.py:9-225).
+
+    With ``good=False`` each post-init keyframe is verified: the update op
+    runs once and the summed confidence weights of edges touching the newest
+    frame (other endpoint within the last 3 frames) must average > 200 with
+    every edge > 10 — otherwise the keyframe is rejected and its timestamp
+    recorded in ``badT`` (the fork's loop-closure verification signal).
+    """
+
+    def __init__(self, applies, params, video, config, dtype=None):
+        super().__init__(applies, params, video, config, dtype=dtype)
+        self.good = config.good
+        self.badT = []
+
+    def _do_update(self):
+        import jax.numpy as jnp
+
+        if self.good:
+            super()._do_update()
+            return
+
+        self.count += 1
+        self.t1 += 1
+        v = self.video
+
+        if len(self.graph.ii) > 0:
+            self.graph.rm_factors(self.graph.age > self.max_age, store=True)
+
+        self.graph.add_proximity_factors(
+            self.t1 - 5, max(self.t1 - self.frontend_window, 0),
+            rad=self.frontend_radius, nms=self.frontend_nms,
+            thresh=self.frontend_thresh, beta=self.beta, remove=True,
+        )
+        dsens = v.disps_sens[self.t1 - 1]
+        v.disps = v.disps.at[self.t1 - 1].set(
+            jnp.where(dsens > 0, dsens, v.disps[self.t1 - 1])
+        )
+
+        # quality gate (reference s_droid_frontend.py:116-164)
+        summed = self.graph.probe_quality()
+        newest = v.counter - 1
+        sel = []
+        for k in range(len(self.graph.ii)):
+            i, j = int(self.graph.ii[k]), int(self.graph.jj[k])
+            if i == newest and j > newest - 3 and j != i:
+                sel.append(k)
+            elif j == newest and i > newest - 3 and i != j:
+                sel.append(k)
+        vals = summed[sorted(sel)] if sel else np.zeros(0)
+
+        ok = len(vals) > 0 and vals.mean() > self.cfg.quality_mean_thresh and np.all(
+            vals > self.cfg.quality_min_thresh
+        )
+        if ok:
+            for _ in range(self.iters1 + self.iters2):
+                self.graph.update(None, None, use_inactive=True)
+            v.poses = v.poses.at[self.t1].set(v.poses[self.t1 - 1])
+            v.disps = v.disps.at[self.t1].set(jnp.mean(v.disps[self.t1 - 1]))
+            self.video.dirty[int(self.graph.ii.min()) : self.t1] = True
+        else:
+            self.graph.rm_keyframe(self.t1 - 2)
+            self.badT.append(float(v.tstamp[v.counter - 1]))
+            v.counter -= 1
+            self.t1 -= 1

@@ -1,0 +1,104 @@
+"""Keyframe admission by flow magnitude (reference motion_filter.py:12-98)."""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..lie import se3_identity
+from ..ops import altcorr_pyramid, pool2x_fmap
+
+
+@partial(jax.jit, static_argnames=("update_apply", "dtype"))
+def _motion_check(update_apply, params, fmap1, fmap2, net, inp, dtype=jnp.float32):
+    """One update-op step against the last keyframe; returns mean |delta|.
+
+    Mirrors reference motion_filter.py:81-91 (corr of the static grid,
+    1 GRU step, no BA).
+    """
+    h8, w8 = fmap1.shape[0:2]
+    ys, xs = jnp.meshgrid(jnp.arange(h8, dtype=jnp.float32),
+                          jnp.arange(w8, dtype=jnp.float32), indexing="ij")
+    coords0 = jnp.stack([xs, ys], axis=-1)[None]
+
+    pyr = [fmap2[None]]
+    for _ in range(3):
+        pyr.append(pool2x_fmap(pyr[-1]))
+    corr = altcorr_pyramid(fmap1[None], pyr, coords0)
+
+    _, delta, _ = update_apply(
+        params, net[None, None], inp[None, None], corr[None].astype(dtype), None
+    )
+    return jnp.mean(jnp.linalg.norm(delta[0, 0], axis=-1))
+
+
+class MotionFilter:
+    """Filters incoming frames; appends keyframes with enough motion."""
+
+    def __init__(self, applies, params, video, thresh=2.4, dtype=jnp.float32):
+        self.applies = applies
+        self.params = params
+        self.video = video
+        self.thresh = thresh
+        self.dtype = dtype
+        self.count = 0
+        self.fmap = None
+        self.net = None
+        self.inp = None
+
+    def track(self, tstamp, image, depth=None, intrinsics=None):
+        """Process one input frame (reference motion_filter.py:51-98).
+
+        image: [H, W, 3] uint8 BGR, or [2, H, W, 3] for stereo.
+        """
+        video = self.video
+        if image.ndim == 3:
+            image = image[None]
+        imgs = jnp.asarray(np.asarray(image, np.float32))
+
+        gmap = self.applies["fnet"](self.params, imgs)  # [c, h8, w8, 128]
+
+        if video.counter == 0:
+            net, inp = self.applies["cnet"](self.params, imgs[:1])
+            self.net, self.inp, self.fmap = net[0], inp[0], gmap
+            video.append(
+                tstamp, image[0], se3_identity(), 1.0, depth,
+                jnp.asarray(intrinsics) / 8.0, gmap, net[0], inp[0],
+            )
+        else:
+            delta_norm = _motion_check(
+                self.applies["update"], self.params,
+                self.fmap[0], gmap[0], self.net, self.inp, dtype=self.dtype,
+            )
+            if float(delta_norm) > self.thresh:
+                self.count = 0
+                net, inp = self.applies["cnet"](self.params, imgs[:1])
+                self.net, self.inp, self.fmap = net[0], inp[0], gmap
+                video.append(
+                    tstamp, image[0], None, None, depth,
+                    jnp.asarray(intrinsics) / 8.0, gmap, net[0], inp[0],
+                )
+            else:
+                self.count += 1
+
+
+class SessionMotionFilter(MotionFilter):
+    """Multisession variant: the first frame keeps a preloaded pose/disp
+    (reference s_motion_filter.py:78-80 — pose=None/disp=None on frame 0 so
+    seeded buffers survive)."""
+
+    def track(self, tstamp, image, depth=None, intrinsics=None):
+        video = self.video
+        if video.counter == 0:
+            if image.ndim == 3:
+                image = image[None]
+            imgs = jnp.asarray(np.asarray(image, np.float32))
+            gmap = self.applies["fnet"](self.params, imgs)
+            net, inp = self.applies["cnet"](self.params, imgs[:1])
+            self.net, self.inp, self.fmap = net[0], inp[0], gmap
+            video.append(
+                tstamp, image[0], None, None, depth,
+                jnp.asarray(intrinsics) / 8.0, gmap, net[0], inp[0],
+            )
+        else:
+            super().track(tstamp, image, depth, intrinsics)

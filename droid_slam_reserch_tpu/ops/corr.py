@@ -44,16 +44,21 @@ def corr_volume(f1, f2):
 
 
 def pool2x_volume(vol):
-    """2x average pool over the last two (target) dims of [E,H1,W1,H2,W2]."""
+    """2x average pool over the last two (target) dims of [E,H1,W1,H2,W2].
+
+    Odd trailing rows/cols are dropped (torch avg_pool2d floor semantics).
+    """
     E, H1, W1, H2, W2 = vol.shape
-    v = vol.reshape(E, H1, W1, H2 // 2, 2, W2 // 2, 2)
+    h, w = H2 // 2, W2 // 2
+    v = vol[..., : 2 * h, : 2 * w].reshape(E, H1, W1, h, 2, w, 2)
     return v.mean(axis=(4, 6))
 
 
 def pool2x_fmap(f):
-    """2x average pool over the spatial dims of [E, H, W, C]."""
+    """2x average pool over the spatial dims of [E, H, W, C] (floor semantics)."""
     E, H, W, C = f.shape
-    return f.reshape(E, H // 2, 2, W // 2, 2, C).mean(axis=(2, 4))
+    h, w = H // 2, W // 2
+    return f[:, : 2 * h, : 2 * w].reshape(E, h, 2, w, 2, C).mean(axis=(2, 4))
 
 
 def build_pyramid(vol, num_levels=4):

@@ -1,0 +1,145 @@
+"""End-to-end engine tests on synthetic sequences (random weights).
+
+The reference has no runtime tests at all (SURVEY.md §4); these exercise
+keyframe admission, graph construction, frontend init/update, keyframe
+culling, global backend, and trajectory filling on a tiny CPU problem.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from droid_slam_reserch_tpu.engine import Droid
+from droid_slam_reserch_tpu.engine.droid import SDroid, init_params
+from droid_slam_reserch_tpu.utils import DroidConfig
+
+H, W = 64, 96
+INTR = np.array([60.0, 60.0, W / 2.0, H / 2.0], np.float32)
+
+
+def make_config(**kw):
+    base = dict(
+        image_size=(H, W), buffer=32, warmup=5, filter_thresh=-1.0,
+        frontend_window=8, frontend_thresh=32.0, max_factors=32,
+        keyframe_thresh=0.0,  # keep every keyframe (synthetic motion is large)
+        init_iters=2, iters1=1, iters2=1,
+        backend_steps_first=1, backend_steps_second=1,
+        edge_bucket=8, window_bucket=4,
+    )
+    base.update(kw)
+    return DroidConfig(**base)
+
+
+def synth_frame(t, rng):
+    """Textured pattern translating over time."""
+    ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    img = (
+        127 + 80 * np.sin(0.2 * (xs + 6 * t)) * np.cos(0.15 * (ys + 3 * t))
+        + 20 * rng.standard_normal((H, W))
+    )
+    return np.clip(img, 0, 255).astype(np.uint8)[..., None].repeat(3, -1)
+
+
+@pytest.fixture(scope="module")
+def shared_params():
+    return init_params(make_config(), seed=0)
+
+
+def run_sequence(droid, n_frames=12):
+    rng = np.random.RandomState(0)
+    for t in range(n_frames):
+        droid.track(float(t), synth_frame(t, rng), intrinsics=INTR)
+    return droid
+
+
+class TestDroidPipeline:
+    def test_tracking_and_termination(self, shared_params):
+        cfg = make_config()
+        droid = Droid(cfg, params=shared_params)
+        run_sequence(droid, 10)
+
+        assert droid.video.counter >= cfg.warmup
+        assert droid.frontend.is_initialized
+        t = droid.video.counter
+        poses = np.asarray(droid.video.poses[:t])
+        disps = np.asarray(droid.video.disps[:t])
+        assert np.all(np.isfinite(poses))
+        assert np.all(np.isfinite(disps))
+        assert np.all(disps >= 0.001)
+
+        droid.terminate()
+        poses = np.asarray(droid.video.poses[:t])
+        assert np.all(np.isfinite(poses))
+
+    def test_trajectory_filler(self, shared_params):
+        cfg = make_config()
+        droid = Droid(cfg, params=shared_params)
+        run_sequence(droid, 10)
+
+        rng = np.random.RandomState(0)
+        stream = [(float(t), synth_frame(t, rng), INTR) for t in range(10)]
+        traj = droid.terminate_eva(iter(stream))
+        assert traj.shape == (10, 7)
+        assert np.all(np.isfinite(traj))
+
+    def test_save_reconstruction(self, shared_params, tmp_path):
+        cfg = make_config()
+        droid = Droid(cfg, params=shared_params)
+        run_sequence(droid, 8)
+        droid.save_reconstruction(str(tmp_path))
+        data = np.load(tmp_path / "reconstruction.npz")
+        t = droid.video.counter
+        assert data["poses"].shape == (t, 7)
+        assert data["fmaps"].shape[0] == t
+
+    def test_session_reload(self, shared_params, tmp_path):
+        """Save a session, inject into a fresh SDroid (Give_Data analog)."""
+        cfg = make_config()
+        droid = Droid(cfg, params=shared_params)
+        run_sequence(droid, 8)
+        state = droid.video.state_dict()
+        t = droid.video.counter
+
+        droid2 = SDroid(cfg, params=shared_params)
+        droid2.video.load_state_dict(state)
+        assert droid2.video.counter == t
+        np.testing.assert_allclose(
+            np.asarray(droid2.video.poses[:t]), state["poses"], atol=1e-5
+        )
+
+    def test_keyframe_culling(self, shared_params):
+        """With a huge keyframe_thresh every post-init keyframe gets culled."""
+        cfg = make_config(keyframe_thresh=1e6)
+        droid = Droid(cfg, params=shared_params)
+        run_sequence(droid, 10)
+        # counter stays near warmup+1 as later keyframes are culled
+        assert droid.video.counter <= cfg.warmup + 2
+
+
+class TestStereoPipeline:
+    def test_stereo_tracking(self, shared_params):
+        cfg = make_config(stereo=True)
+        droid = Droid(cfg, params=shared_params)
+        rng = np.random.RandomState(1)
+        for t in range(8):
+            left = synth_frame(t, rng)
+            right = np.roll(left, -2, axis=1)
+            droid.track(float(t), np.stack([left, right]), intrinsics=INTR)
+        assert droid.frontend.is_initialized
+        t = droid.video.counter
+        assert np.all(np.isfinite(np.asarray(droid.video.poses[:t])))
+        # stereo self-edges must exist in the graph
+        g = droid.frontend.graph
+        assert np.any(g.ii == g.jj) or np.any(g.ii_inac == g.jj_inac)
+
+
+class TestRGBD:
+    def test_rgbd_tracking(self, shared_params):
+        cfg = make_config(rgbd=True)
+        droid = Droid(cfg, params=shared_params)
+        rng = np.random.RandomState(2)
+        for t in range(8):
+            depth = 2.0 + 0.5 * rng.rand(H, W).astype(np.float32)
+            droid.track(float(t), synth_frame(t, rng), depth=depth, intrinsics=INTR)
+        assert droid.frontend.is_initialized
+        t = droid.video.counter
+        assert np.any(np.asarray(droid.video.disps_sens[:t]) > 0)
