@@ -1,0 +1,129 @@
+"""Benchmark: frontend update iterations per second on one chip.
+
+Measures the SLAM hot path at EuRoC scale (SURVEY.md §3.1): one fused
+update-operator step (reprojection + 4-level fused correlation + ConvGRU +
+graph aggregation) followed by a 2-iteration dense-BA solve over a
+48-edge / 24-keyframe window at 1/8 resolution 40x64 — the exact work the
+reference does per frontend iteration (reference droid_frontend.py:52,
+factor_graph.py:198-241).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline compares against 60 update-iters/s, an estimate of the CUDA
+reference's frontend rate on its target GPU (~10 keyframes/s x 6
+iterations; the reference publishes no numbers — BASELINE.md).
+"""
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    # the container's sitecustomize force-selects the axon TPU platform;
+    # honor an explicit JAX_PLATFORMS request (used for CPU smoke tests)
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        try:
+            jax.config.update("jax_platforms", want)
+        except Exception:
+            pass
+
+    import jax.numpy as jnp
+
+    from droid_slam_reserch_tpu.ba.solver import ba_solve, schur_pairs
+    from droid_slam_reserch_tpu.engine.factor_graph import _update_op_step
+    from droid_slam_reserch_tpu.engine.net_ops import make_applies
+    from droid_slam_reserch_tpu.engine.droid import init_params
+    from droid_slam_reserch_tpu.utils import DroidConfig
+    from droid_slam_reserch_tpu.lie import se3_exp
+
+    small = bool(int(os.environ.get("BENCH_SMALL", "0")))
+    if small:
+        h8, w8, N, MW, iters = 8, 16, 16, 8, 5
+    else:
+        h8, w8, N, MW, iters = 40, 64, 48, 24, 20
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    dtype_str = "bfloat16" if on_tpu else "float32"
+    cfg = DroidConfig(image_size=(h8 * 8, w8 * 8), buffer=MW, compute_dtype=dtype_str)
+    params = init_params(cfg.replace(image_size=(64, 64)), seed=0)
+    if dtype_str == "bfloat16":
+        pass  # params stay fp32; compute dtype handled by modules
+    applies = make_applies(dtype_str)
+
+    key = jax.random.PRNGKey(0)
+    poses = se3_exp(0.03 * jax.random.normal(key, (MW, 6)))
+    disps = jnp.ones((MW, h8, w8))
+    intr = jnp.array([w8 * 4.0, w8 * 4.0, w8 / 2.0, h8 / 2.0])
+    intrinsics = jnp.broadcast_to(intr, (MW, 4))
+    fdt = jnp.bfloat16 if dtype_str == "bfloat16" else jnp.float32
+    fmaps = (0.1 * jax.random.normal(key, (MW, 1, h8, w8, 128))).astype(fdt)
+
+    rng = np.random.RandomState(0)
+    ii = np.concatenate([np.arange(MW - 1), rng.randint(0, MW - 1, N - (MW - 1))]).astype(np.int32)
+    jj = np.clip(ii + rng.randint(1, 4, N), 0, MW - 1).astype(np.int32)
+    jj = np.where(jj == ii, np.clip(ii + 1, 0, MW - 1), jj)
+
+    nets_e = jnp.zeros((N, h8, w8, 128), fdt)
+    inps_e = jnp.zeros((N, h8, w8, 128), fdt)
+    target0 = jnp.zeros((N, h8, w8, 2))
+    cams = jnp.zeros(N, jnp.int32)
+    kk = jnp.asarray(ii)
+    iid, jjd = jnp.asarray(ii), jnp.asarray(jj)
+
+    be, bm = schur_pairs(ii, MW)
+    be, bm = jnp.asarray(be), jnp.asarray(bm)
+    free = jnp.arange(MW) >= 1
+    eta_base = 1e-4 * jnp.ones((MW, h8, w8))
+    dsens = jnp.zeros((MW, h8, w8))
+
+    from droid_slam_reserch_tpu.engine.factor_graph import _fused_rounds
+
+    ROUNDS = 6  # iters1 + iters2 per keyframe (reference droid_frontend.py:24-25)
+    fmap1_e = fmaps[iid, 0]
+    fmap2_e = fmaps[jjd, 0]
+    active_mask = jnp.ones(N, bool)
+    has_edge = jnp.zeros(MW, bool).at[iid].set(True)
+    damping = 1e-6 * jnp.ones((MW, h8, w8))
+    empty_t = jnp.zeros((0, h8, w8, 2))
+
+    def one_keyframe(poses, disps, damping, nets_e, target):
+        """The whole per-keyframe frontend loop as one device program."""
+        return _fused_rounds(
+            applies["update"], params,
+            poses, disps, dsens, damping, intr,
+            fmap1_e, fmap2_e, nets_e, inps_e, target,
+            iid, jjd, kk, active_mask, has_edge,
+            iid, jjd, empty_t, empty_t,
+            free, be, bm,
+            rounds=ROUNDS, ba_iters=2, lm=1e-4, ep=0.1,
+            damping_eps=1e-7, min_depth=0.25, dtype=fdt,
+        )
+
+    # warmup / compile
+    p, d, dmp, n_, t_, _ = one_keyframe(poses, disps, damping, nets_e, target0)
+    jax.block_until_ready(p)
+    p, d, dmp, n_, t_, _ = one_keyframe(p, d, dmp, n_, t_)
+    jax.block_until_ready(p)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        p, d, dmp, n_, t_, _ = one_keyframe(p, d, dmp, n_, t_)
+    jax.block_until_ready(p)
+    dt = time.perf_counter() - t0
+
+    value = iters * ROUNDS / dt  # update iterations per second
+    baseline = 60.0  # est. CUDA reference frontend update-iters/s (see module doc)
+    print(json.dumps({
+        "metric": "frontend_update_iters_per_s",
+        "value": round(value, 3),
+        "unit": "iters/s",
+        "vs_baseline": round(value / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

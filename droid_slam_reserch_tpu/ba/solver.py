@@ -93,8 +93,7 @@ def _damped_solve(S, v, lm, ep):
     return jnp.where(bad, jnp.zeros_like(dx), dx)
 
 
-@partial(jax.jit, static_argnames=("iterations", "motion_only", "alpha", "min_depth"))
-def ba_solve(
+def ba_iterations(
     poses,
     disps,
     intrinsics,
@@ -216,3 +215,11 @@ def ba_solve(
 
     poses, disps = jax.lax.fori_loop(0, iterations, iteration, (poses, disps))
     return poses, disps
+
+
+# jitted entry point; ba_iterations stays pure so fused engine programs can
+# inline the same math inside a larger jit (factor_graph._fused_rounds)
+ba_solve = jax.jit(
+    ba_iterations,
+    static_argnames=("iterations", "motion_only", "alpha", "min_depth"),
+)

@@ -1,0 +1,43 @@
+"""TUM-RGBD fr1 stream (reference evaluation_scripts/test_tum.py:23-53).
+
+Uses the published TUM freiburg1 intrinsics + distortion.
+"""
+import glob
+import os
+
+import numpy as np
+
+TUM_FR1_INTRINSICS = (517.3, 516.5, 318.6, 255.3)
+TUM_FR1_DIST = np.array([0.2624, -0.9531, -0.0054, 0.0026, 1.1633])
+
+
+def tum_stream(datapath, stride=2, use_depth=False):
+    """Undistorted, resized fr1 stream; crops the distortion boundary."""
+    import cv2
+
+    fx, fy, cx, cy = TUM_FR1_INTRINSICS
+    K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+
+    images_list = sorted(glob.glob(os.path.join(datapath, "rgb", "*.png")))[::stride]
+    depth_list = sorted(glob.glob(os.path.join(datapath, "depth", "*.png")))[::stride]
+
+    for t, imfile in enumerate(images_list):
+        image = cv2.imread(imfile)
+        image = cv2.undistort(image, K, TUM_FR1_DIST)
+        image = cv2.resize(image, (320 + 32, 240 + 16))
+
+        intr = np.array([fx, fy, cx, cy], np.float32)
+        intr[0::2] *= image.shape[1] / 640.0
+        intr[1::2] *= image.shape[0] / 480.0
+        # crop distortion boundary (reference :48-51)
+        intr[2] -= 16
+        intr[3] -= 8
+        image = image[8:-8, 16:-16]
+
+        if use_depth and t < len(depth_list):
+            depth = cv2.imread(depth_list[t], cv2.IMREAD_ANYDEPTH) / 5000.0
+            depth = cv2.resize(depth, (352, 256), interpolation=cv2.INTER_NEAREST)
+            depth = depth[8:-8, 16:-16]
+            yield t, image, depth, intr
+        else:
+            yield t, image, intr

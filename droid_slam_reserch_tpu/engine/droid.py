@@ -18,28 +18,37 @@ from .video import Video
 
 
 def init_params(config, seed=0):
-    """Load converted droid.pth weights, or random-init (tests)."""
+    """Load converted droid.pth weights, or random-init (tests).
+
+    Random init goes submodule-by-submodule (fnet/cnet/update) so no BA/corr
+    graph gets traced just to create parameters.
+    """
     if config.weights and os.path.exists(config.weights):
         if config.weights.endswith((".pth", ".pt")):
             return load_torch_checkpoint(config.weights)["params"]
         data = np.load(config.weights, allow_pickle=True)
         return jax.tree_util.tree_map(jnp.asarray, data["params"].item())
 
-    net = DroidNet()
-    h, w = config.image_size
-    from ..lie import se3_identity
+    from ..models.extractor import BasicEncoder
+    from ..models.update import UpdateModule
 
-    variables = net.init(
-        jax.random.PRNGKey(seed),
-        se3_identity((1, 2)),
-        jnp.zeros((1, 2, h, w, 3)),
-        jnp.ones((1, 2, h // 8, w // 8)),
-        jnp.broadcast_to(jnp.array([w / 2.0, w / 2.0, w / 2.0, h / 2.0]), (1, 2, 4)),
-        np.array([0, 1]),
-        np.array([1, 0]),
-        1,
-    )
-    return variables["params"]
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3 = jax.random.split(key, 3)
+    h, w = 64, 64
+    img = jnp.zeros((1, h, w, 3))
+    fnet = BasicEncoder(output_dim=128, norm_fn="instance").init(k1, img)["params"]
+    cnet = BasicEncoder(output_dim=256, norm_fn="none").init(k2, img)["params"]
+    h8, w8 = h // 8, w // 8
+    update = UpdateModule().init(
+        k3,
+        jnp.zeros((1, 2, h8, w8, 128)),
+        jnp.zeros((1, 2, h8, w8, 128)),
+        jnp.zeros((1, 2, h8, w8, 196)),
+        jnp.zeros((1, 2, h8, w8, 4)),
+        jnp.array([0, 1]),
+        2,
+    )["params"]
+    return {"fnet": fnet, "cnet": cnet, "update": update}
 
 
 class Droid:

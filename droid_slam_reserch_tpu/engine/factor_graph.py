@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ba.solver import ba_iterations, schur_pairs
 from ..geom import projective_transform, coords_grid
 from ..ops import altcorr_pyramid, pool2x_fmap
 
@@ -83,6 +84,108 @@ def _update_op_step(
     target_new = coords1 + delta[0].astype(jnp.float32)
     weight_new = weight[0].astype(jnp.float32)
     return net[0], target_new, weight_new, eta[0].astype(jnp.float32), upmask[0], coords1
+
+
+@partial(
+    jax.jit,
+    static_argnames=("apply_fn", "rounds", "ba_iters", "dtype"),
+)
+def _fused_rounds(
+    apply_fn,
+    params,
+    poses_win,
+    disps_win,
+    disps_sens_win,
+    damping_win,
+    intr,
+    fmap1_e,
+    fmap2_e,
+    nets_e,
+    inps_e,
+    target_a,
+    ii_a,
+    jj_a,
+    kk_a,
+    active_mask,
+    has_edge,
+    ii_all,
+    jj_all,
+    target_inac,
+    weight_inac,
+    free_mask,
+    bucket_edges,
+    bucket_mask,
+    rounds,
+    ba_iters,
+    lm,
+    ep,
+    damping_eps,
+    min_depth,
+    dtype=jnp.float32,
+):
+    """K rounds of (update op + dense BA) as ONE XLA program.
+
+    This is the latency-critical redesign vs the reference, which dispatches
+    dozens of kernels + host syncs per round (factor_graph.py:198-250):
+    on TPU the whole per-keyframe loop runs in-graph, so the host pays one
+    dispatch per keyframe instead of ~2 per round.
+
+    All arrays are window-local ([MW] frames); active edges carry the
+    update-op state, inactive edges join only the BA with frozen
+    target/weight (reference :224-231).
+    """
+    MW = poses_win.shape[0]
+    h8, w8 = disps_win.shape[-2:]
+    coords0 = coords_grid(h8, w8)
+    intr_win = jnp.broadcast_to(intr, (MW, 4))
+
+    pyr = [fmap2_e]
+    for _ in range(3):
+        pyr.append(pool2x_fmap(pyr[-1]))
+
+    amask = active_mask[:, None, None, None].astype(jnp.float32)
+
+    def round_body(_, st):
+        poses, disps, damping, nets, target_a, _ = st
+
+        coords1, _ = projective_transform(
+            poses[None], disps[None], intr_win[None], ii_a, jj_a
+        )
+        coords1 = coords1[0]
+        motn = jnp.clip(
+            jnp.concatenate([coords1 - coords0, target_a - coords1], axis=-1),
+            -64.0, 64.0,
+        )
+        corr = altcorr_pyramid(fmap1_e, pyr, coords1)
+
+        nets, delta, weight, eta, _ = apply_fn(
+            params, nets[None], inps_e[None], corr[None].astype(dtype),
+            motn[None].astype(dtype), kk_a, MW,
+        )
+        nets = nets[0]
+        target_a = coords1 + delta[0].astype(jnp.float32)
+        weight_a = weight[0].astype(jnp.float32) * amask
+
+        damping = jnp.where(has_edge[:, None, None], eta[0].astype(jnp.float32), damping)
+        eta_ba = 0.2 * damping + damping_eps
+
+        target_all = jnp.concatenate([target_inac, target_a], axis=0)
+        weight_all = jnp.concatenate([weight_inac, weight_a], axis=0)
+
+        poses, disps = ba_iterations(
+            poses, disps, intr, disps_sens_win, target_all, weight_all, eta_ba,
+            ii_all, jj_all, free_mask, bucket_edges, bucket_mask,
+            iterations=ba_iters, lm=lm, ep=ep, min_depth=min_depth,
+        )
+        disps = jnp.maximum(disps, 0.001)
+        return poses, disps, damping, nets, target_a, weight_a
+
+    weight0 = jnp.zeros_like(target_a)
+    poses, disps, damping, nets, target_a, weight_a = jax.lax.fori_loop(
+        0, rounds, round_body,
+        (poses_win, disps_win, damping_win, nets_e, target_a, weight0),
+    )
+    return poses, disps, damping, nets, target_a, weight_a
 
 
 class FactorGraph:
@@ -294,6 +397,116 @@ class FactorGraph:
             video.upsample(jnp.asarray(ux), upmask[sel].astype(jnp.float32))
 
         self.age += 1
+
+    def update_fused(self, rounds, t0=None, t1=None, itrs=2, use_inactive=True):
+        """K rounds of (update op + DBA) in one device program.
+
+        Semantics match `rounds` successive update() calls (reference
+        droid_frontend.py:52-53 loops); the host pays a single dispatch.
+        Does not drive upsampling — use update() when cfg.upsample is set.
+        """
+        if len(self.ii) == 0 or rounds == 0:
+            return
+        video = self.video
+        cfg = self.cfg
+        n, n_pad, ii_p, jj_p = self._padded_edges()
+
+        if t0 is None:
+            t0 = max(1, int(self.ii.min()) + 1)
+        if t1 is None:
+            t1 = int(max(self.ii.max(), self.jj.max())) + 1
+
+        h8, w8 = video.h8, video.w8
+        if use_inactive and len(self.ii_inac):
+            m = (self.ii_inac >= t0 - 3) & (self.jj_inac >= t0 - 3)
+            ii_i = self.ii_inac[m]
+            jj_i = self.jj_inac[m]
+            tgt_i = self.target_inac[jnp.asarray(m)]
+            wgt_i = self.weight_inac[jnp.asarray(m)]
+        else:
+            ii_i = np.zeros(0, np.int64)
+            jj_i = np.zeros(0, np.int64)
+            tgt_i = jnp.zeros((0, h8, w8, 2), jnp.float32)
+            wgt_i = jnp.zeros((0, h8, w8, 2), jnp.float32)
+        ni = len(ii_i)
+        ni_pad = _round_up(ni, self.cfg.edge_bucket) if ni else 0
+        ii_ip = np.zeros(ni_pad, np.int32)
+        jj_ip = np.zeros(ni_pad, np.int32)
+        ii_ip[:ni] = ii_i
+        jj_ip[:ni] = jj_i
+        pad_i = ni_pad - ni
+        tgt_i = jnp.concatenate([tgt_i, jnp.zeros((pad_i, h8, w8, 2))], 0)
+        wgt_i = jnp.concatenate([wgt_i, jnp.zeros((pad_i, h8, w8, 2))], 0)
+
+        # window covering every referenced frame + the free range [t0, t1)
+        lows = [int(self.ii.min()), int(self.jj.min()), t0]
+        if ni:
+            lows += [int(ii_i.min()), int(jj_i.min())]
+        lo = min(lows)
+        MW = _round_up(t1 - lo, cfg.window_bucket)
+        m0 = max(0, t1 - MW)
+        if m0 == 0:
+            MW = _round_up(t1, cfg.window_bucket)
+
+        ii_al = ii_p - m0
+        jj_al = jj_p - m0
+        ii_il = ii_ip - m0
+        jj_il = jj_ip - m0
+        # padded slots (and any inactive pads) anchor at local 0
+        ii_al[n:] = 0
+        jj_al[n:] = 0
+        ii_il[ni:] = 0
+        jj_il[ni:] = 0
+
+        ii_all = np.concatenate([ii_il, ii_al]).astype(np.int32)
+        jj_all = np.concatenate([jj_il, jj_al]).astype(np.int32)
+        be, bm = schur_pairs(ii_all, MW)
+        R = _round_up(be.shape[1] + 1, 4) - 1
+        be = np.pad(be, ((0, 0), (0, R - be.shape[1])))
+        bm = np.pad(bm, ((0, 0), (0, R - bm.shape[1])))
+
+        free = np.zeros(MW, bool)
+        free[t0 - m0 : t1 - m0] = True
+        kk_a = np.clip(ii_al, 0, MW - 1).astype(np.int32)
+        active_mask = np.arange(n_pad) < n
+        has_edge = np.zeros(MW, bool)
+        has_edge[self.ii - m0] = True
+
+        cams = ((ii_p == jj_p) & video.stereo).astype(np.int32)
+        fmap1_e = video.fmaps[jnp.asarray(ii_p), 0]
+        fmap2_e = video.fmaps[jnp.asarray(jj_p), jnp.asarray(cams)]
+        pad = n_pad - n
+        nets_e = jnp.concatenate(
+            [self.net, jnp.zeros((pad, h8, w8, 128), self.net.dtype)], 0
+        )
+        inps_e = video.inps[jnp.asarray(ii_p)]
+        target_a = jnp.concatenate(
+            [self.target, jnp.zeros((pad, h8, w8, 2), jnp.float32)], 0
+        )
+
+        sl = slice(m0, m0 + MW)
+        poses, disps, damping, nets, target_out, weight_out = _fused_rounds(
+            self.update_apply, self.params,
+            video.poses[sl], video.disps[sl], video.disps_sens[sl],
+            video.damping[sl], video.intrinsics[0],
+            fmap1_e, fmap2_e, nets_e, inps_e, target_a,
+            jnp.asarray(ii_al.astype(np.int32)), jnp.asarray(jj_al.astype(np.int32)),
+            jnp.asarray(kk_a), jnp.asarray(active_mask), jnp.asarray(has_edge),
+            jnp.asarray(ii_all), jnp.asarray(jj_all), tgt_i, wgt_i,
+            jnp.asarray(free), jnp.asarray(be), jnp.asarray(bm),
+            rounds=rounds, ba_iters=itrs,
+            lm=cfg.frontend_lm, ep=cfg.frontend_ep,
+            damping_eps=cfg.damping_eps, min_depth=cfg.min_depth,
+            dtype=self.dtype,
+        )
+
+        video.poses = video.poses.at[sl].set(poses)
+        video.disps = video.disps.at[sl].set(disps)
+        video.damping = video.damping.at[sl].set(damping)
+        self.net = nets[:n]
+        self.target = target_out[:n]
+        self.weight = weight_out[:n]
+        self.age += rounds
 
     def probe_quality(self):
         """Run the update op once (no BA) and return per-edge summed

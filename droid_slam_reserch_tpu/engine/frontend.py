@@ -32,6 +32,15 @@ class Frontend:
         self.frontend_thresh = config.frontend_thresh
         self.frontend_radius = config.frontend_radius
 
+    def _run_updates(self, rounds, t0=None):
+        """rounds x (update op + DBA): one fused device program unless
+        upsampling is enabled (the fused path skips upsampling)."""
+        if self.cfg.upsample:
+            for _ in range(rounds):
+                self.graph.update(t0, None, use_inactive=True)
+        else:
+            self.graph.update_fused(rounds, t0=t0, use_inactive=True)
+
     def __update(self):
         """Add edges, perform update (reference :37-75)."""
         import jax.numpy as jnp
@@ -55,8 +64,7 @@ class Frontend:
             jnp.where(dsens > 0, dsens, v.disps[self.t1 - 1])
         )
 
-        for _ in range(self.iters1):
-            self.graph.update(None, None, use_inactive=True)
+        self._run_updates(self.iters1)
 
         # keyframe culling by flow distance (reference :56-64)
         d = self.video.distance(
@@ -67,8 +75,7 @@ class Frontend:
             self.video.counter -= 1
             self.t1 -= 1
         else:
-            for _ in range(self.iters2):
-                self.graph.update(None, None, use_inactive=True)
+            self._run_updates(self.iters2)
 
         # initialize next frame's pose/disp by copy (reference :71-72)
         v.poses = v.poses.at[self.t1].set(v.poses[self.t1 - 1])
@@ -85,14 +92,12 @@ class Frontend:
         self.t1 = v.counter
 
         self.graph.add_neighborhood_factors(self.t0, self.t1, r=3)
-        for _ in range(self.cfg.init_iters):
-            self.graph.update(1, use_inactive=True)
+        self._run_updates(self.cfg.init_iters, t0=1)
 
         self.graph.add_proximity_factors(
             0, 0, rad=2, nms=2, thresh=self.frontend_thresh, remove=False
         )
-        for _ in range(self.cfg.init_iters):
-            self.graph.update(1, use_inactive=True)
+        self._run_updates(self.cfg.init_iters, t0=1)
 
         v.poses = v.poses.at[self.t1].set(v.poses[self.t1 - 1])
         v.disps = v.disps.at[self.t1].set(jnp.mean(v.disps[self.t1 - 4 : self.t1]))
@@ -168,8 +173,7 @@ class SessionFrontend(Frontend):
             vals > self.cfg.quality_min_thresh
         )
         if ok:
-            for _ in range(self.iters1 + self.iters2):
-                self.graph.update(None, None, use_inactive=True)
+            self._run_updates(self.iters1 + self.iters2)
             v.poses = v.poses.at[self.t1].set(v.poses[self.t1 - 1])
             v.disps = v.disps.at[self.t1].set(jnp.mean(v.disps[self.t1 - 1]))
             self.video.dirty[int(self.graph.ii.min()) : self.t1] = True

@@ -1,0 +1,10 @@
+"""Training: unrolled DBA training step, losses, logging, checkpoints.
+
+Mirror of reference train.py:43-186 + logger.py, redesigned for pjit data
+parallelism over a device mesh instead of DDP/NCCL (SURVEY.md §2.7).
+"""
+from .config import TrainConfig
+from .step import make_train_step, init_train_state
+from .logger import Logger
+
+__all__ = [k for k in dir() if not k.startswith("_")]
