@@ -1,0 +1,297 @@
+"""Command-line entry points (reference demo.py, evaluation_scripts/*,
+train.py — one CLI with subcommands instead of per-script flag duplication).
+
+Usage:
+  python -m droid_slam_reserch_tpu.cli demo --imagedir DIR --calib FILE
+  python -m droid_slam_reserch_tpu.cli euroc --datapath .../MH_01/mav0 --gt gt.txt [--stereo]
+  python -m droid_slam_reserch_tpu.cli tum --datapath .../rgbd_dataset_freiburg1_xyz
+  python -m droid_slam_reserch_tpu.cli eth3d --datapath DIR [--depth]
+  python -m droid_slam_reserch_tpu.cli tartanair --datapath SCENE [--stereo]
+  python -m droid_slam_reserch_tpu.cli train --datapath .../TartanAir
+"""
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _add_slam_flags(p):
+    """Shared SLAM flags (reference demo.py:103-128)."""
+    p.add_argument("--weights", default=None, help="droid.pth-style checkpoint")
+    p.add_argument("--buffer", type=int, default=None)
+    p.add_argument("--stride", type=int, default=1)
+    p.add_argument("--disable_backend", action="store_true")
+    p.add_argument("--upsample", action="store_true")
+    p.add_argument("--reconstruction_path", default=None)
+    p.add_argument("--bf16", action="store_true", help="bfloat16 network compute")
+    for name, typ in [
+        ("filter_thresh", float), ("warmup", int), ("keyframe_thresh", float),
+        ("frontend_thresh", float), ("frontend_window", int),
+        ("frontend_radius", int), ("frontend_nms", int), ("beta", float),
+        ("backend_thresh", float), ("backend_radius", int), ("backend_nms", int),
+    ]:
+        p.add_argument(f"--{name}", type=typ, default=None)
+
+
+def _config_from_args(base, args):
+    over = {}
+    for f in ("weights", "buffer", "filter_thresh", "warmup", "keyframe_thresh",
+              "frontend_thresh", "frontend_window", "frontend_radius",
+              "frontend_nms", "beta", "backend_thresh", "backend_radius",
+              "backend_nms", "upsample"):
+        v = getattr(args, f, None)
+        if v is not None and v is not False:
+            over[f] = v
+    if getattr(args, "bf16", False):
+        over["compute_dtype"] = "bfloat16"
+    return base.replace(**over)
+
+
+def _track_stream(droid, stream, use_depth=False, progress=True):
+    n = 0
+    for item in stream:
+        if use_depth and len(item) == 4:
+            t, image, depth, intrinsics = item
+            droid.track(t, image, depth=depth, intrinsics=intrinsics)
+        else:
+            t, image, intrinsics = item[0], item[1], item[-1]
+            droid.track(t, image, intrinsics=intrinsics)
+        n += 1
+        if progress and n % 25 == 0:
+            print(f"  frame {n}, keyframes {droid.video.counter}", flush=True)
+    return n
+
+
+def _save_trajectory(path, tstamps, traj):
+    """TUM-format trajectory file (t tx ty tz qx qy qz qw)."""
+    with open(path, "w") as f:
+        for t, p in zip(tstamps, traj):
+            f.write(f"{t} " + " ".join(f"{x:.9f}" for x in p) + "\n")
+
+
+def cmd_demo(args):
+    from .data import generic_image_stream
+    from .engine import Droid
+    from .utils import DroidConfig
+
+    cfg = _config_from_args(DroidConfig(image_size=(240, 320)), args)
+    # probe first frame for actual stream resolution
+    probe = next(iter(generic_image_stream(args.imagedir, args.calib, args.stride)))
+    h, w = probe[1].shape[:2]
+    cfg = cfg.replace(image_size=(h, w))
+
+    droid = Droid(cfg)
+    stream = generic_image_stream(args.imagedir, args.calib, args.stride)
+    _track_stream(droid, stream)
+    if args.reconstruction_path:
+        droid.save_reconstruction(args.reconstruction_path)
+    if not args.disable_backend:
+        droid.terminate()
+    t = droid.video.counter
+    print(f"tracked {t} keyframes")
+    if args.reconstruction_path:
+        droid.save_reconstruction(args.reconstruction_path)
+
+
+def cmd_euroc(args):
+    from .data import euroc_stream
+    from .engine import Droid
+    from .eval import evaluate_ate
+    from .utils import EUROC_CONFIG
+
+    cfg = _config_from_args(EUROC_CONFIG.replace(stereo=args.stereo), args)
+    droid = Droid(cfg)
+    stream = euroc_stream(args.datapath, image_size=cfg.image_size,
+                          stereo=args.stereo, stride=args.stride)
+    _track_stream(droid, stream)
+
+    fill_stream = (
+        (t, im, intr)
+        for (t, im, intr) in euroc_stream(
+            args.datapath, image_size=cfg.image_size, stereo=args.stereo, stride=args.stride
+        )
+    )
+    traj = droid.terminate_eva(fill_stream)
+
+    from .data.euroc import euroc_timestamps
+
+    tstamps = euroc_timestamps(args.datapath, stride=args.stride)[: len(traj)]
+    if args.out:
+        _save_trajectory(args.out, tstamps, traj)
+
+    if args.gt:
+        gt = np.loadtxt(args.gt, delimiter=" ")
+        est = np.concatenate(
+            [np.asarray(tstamps)[:, None] * 1e-9, traj[:, :3], traj[:, 3:]], axis=1
+        )
+        if not args.stereo:
+            est[:, 1:4] *= 1.10  # mono scale fudge (reference test_euroc.py:134)
+        res = evaluate_ate(
+            est, gt, align=True, correct_scale=not args.stereo, max_dt=0.1
+        )
+        print(json.dumps({"ate": res}))
+
+
+def cmd_tum(args):
+    from .data import tum_stream
+    from .engine import Droid
+    from .eval import evaluate_ate
+    from .utils import TUM_CONFIG
+
+    cfg = _config_from_args(
+        TUM_CONFIG.replace(
+            filter_thresh=1.75, warmup=12, keyframe_thresh=2.25,
+            frontend_thresh=12.0, beta=0.6, backend_thresh=15.0,
+            image_size=(224, 320),
+        ),
+        args,
+    )
+    droid = Droid(cfg)
+    _track_stream(droid, tum_stream(args.datapath, stride=2))
+    traj = droid.terminate_eva(iter(list(tum_stream(args.datapath, stride=2))))
+    print(f"tracked {len(traj)} frames")
+    if args.gt:
+        gt = np.loadtxt(args.gt)
+        ts = np.arange(len(traj), dtype=np.float64)
+        est = np.concatenate([ts[:, None], traj[:, :3], traj[:, 3:]], axis=1)
+        res = evaluate_ate(est, gt, align=True, correct_scale=True)
+        print(json.dumps({"ate": res}))
+
+
+def cmd_eth3d(args):
+    from .data import eth3d_stream
+    from .engine import Droid
+    from .utils import ETH3D_CONFIG
+
+    cfg = _config_from_args(ETH3D_CONFIG, args)
+    probe = next(iter(eth3d_stream(args.datapath, use_depth=args.depth)))
+    h, w = probe[1].shape[:2]
+    cfg = cfg.replace(image_size=(h, w))
+    droid = Droid(cfg)
+    _track_stream(
+        droid, eth3d_stream(args.datapath, use_depth=args.depth, stride=args.stride),
+        use_depth=args.depth,
+    )
+    traj = droid.terminate_eva(
+        iter([(x[0], x[1], x[-1]) for x in eth3d_stream(args.datapath, stride=args.stride)])
+    )
+    print(f"tracked {len(traj)} frames")
+
+
+def cmd_tartanair(args):
+    from .data import tartan_stream
+    from .engine import Droid
+    from .eval.metrics import evaluate_tartanair
+    from .utils import TARTANAIR_CONFIG
+
+    cfg = _config_from_args(TARTANAIR_CONFIG.replace(stereo=args.stereo), args)
+    droid = Droid(cfg)
+    _track_stream(droid, tartan_stream(args.datapath, stereo=args.stereo, stride=args.stride))
+    traj = droid.terminate_eva(
+        iter([(x[0], x[1][0] if args.stereo else x[1], x[2])
+              for x in tartan_stream(args.datapath, stereo=args.stereo, stride=args.stride)])
+    )
+    if args.gt:
+        gt = np.loadtxt(args.gt)[:, [1, 2, 0]]  # NED -> xyz translation part
+        res = evaluate_tartanair(traj[: len(gt), :3], gt[: len(traj)])
+        print(json.dumps(res))
+
+
+def cmd_train(args):
+    import jax
+
+    from .data import dataset_factory
+    from .geom import neighbourhood_graph
+    from .parallel import make_mesh, make_parallel_train_step
+    from .train import Logger, TrainConfig, init_train_state
+
+    cfg = TrainConfig(
+        name=args.name, lr=args.lr, steps=args.steps, batch=args.batch,
+        n_frames=args.n_frames, iters=args.iters,
+    )
+    db = dataset_factory(["tartan"], datapath=args.datapath,
+                         n_frames=cfg.n_frames, fmin=cfg.fmin, fmax=cfg.fmax)
+    n_dev = jax.device_count()
+    mesh = make_mesh((n_dev, 1), ("dp", "fsdp"))
+    ii, jj = neighbourhood_graph(cfg.n_frames, 2)
+    step, prepare = make_parallel_train_step(cfg, ii, jj, mesh)
+
+    params, opt_state = init_train_state(cfg, image_size=cfg.image_size)
+    logger = Logger(cfg.name)
+    rng = np.random.default_rng(12345)
+
+    import jax.numpy as jnp
+
+    total = 0
+    while total < cfg.steps:
+        idx = rng.integers(0, len(db), size=cfg.batch)
+        items = [db[int(i)] for i in idx]
+        batch = {
+            "images": jnp.asarray(np.stack([x[0] for x in items])),
+            "poses": jnp.asarray(np.stack([x[1] for x in items])),
+            "disps": jnp.asarray(np.stack([x[2] for x in items])),
+            "intrinsics": jnp.asarray(np.stack([x[3] for x in items])),
+        }
+        params, opt_state, batch = prepare(params, opt_state, batch)
+        params, opt_state, metrics = step(params, opt_state, batch)
+        logger.push({k: float(v) for k, v in metrics.items()})
+        total += 1
+        if total % 10000 == 0:
+            np.savez(f"checkpoints/{cfg.name}_{total:06d}.npz",
+                     params=jax.tree_util.tree_map(np.asarray, params))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="droid_slam_reserch_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("demo")
+    p.add_argument("--imagedir", required=True)
+    p.add_argument("--calib", required=True)
+    _add_slam_flags(p)
+    p.set_defaults(fn=cmd_demo)
+
+    p = sub.add_parser("euroc")
+    p.add_argument("--datapath", required=True)
+    p.add_argument("--gt", default=None)
+    p.add_argument("--out", default=None)
+    p.add_argument("--stereo", action="store_true")
+    _add_slam_flags(p)
+    p.set_defaults(fn=cmd_euroc)
+
+    p = sub.add_parser("tum")
+    p.add_argument("--datapath", required=True)
+    p.add_argument("--gt", default=None)
+    _add_slam_flags(p)
+    p.set_defaults(fn=cmd_tum)
+
+    p = sub.add_parser("eth3d")
+    p.add_argument("--datapath", required=True)
+    p.add_argument("--depth", action="store_true")
+    _add_slam_flags(p)
+    p.set_defaults(fn=cmd_eth3d)
+
+    p = sub.add_parser("tartanair")
+    p.add_argument("--datapath", required=True)
+    p.add_argument("--gt", default=None)
+    p.add_argument("--stereo", action="store_true")
+    _add_slam_flags(p)
+    p.set_defaults(fn=cmd_tartanair)
+
+    p = sub.add_parser("train")
+    p.add_argument("--datapath", required=True)
+    p.add_argument("--name", default="droid")
+    p.add_argument("--lr", type=float, default=2.5e-4)
+    p.add_argument("--steps", type=int, default=250000)
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--n_frames", type=int, default=7)
+    p.add_argument("--iters", type=int, default=15)
+    p.set_defaults(fn=cmd_train)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,81 @@
+"""Multisession tests: group-sequence parsing, IQR alignment, map fusion."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from droid_slam_reserch_tpu import lie
+from droid_slam_reserch_tpu.multisession import (
+    compute_filtered_mean,
+    estimate_alignment,
+    parse_group_sequence,
+    transform_poses,
+)
+
+
+def test_parse_group_sequence(tmp_path):
+    p = tmp_path / "GroupSequence.txt"
+    p.write_text(
+        "0\n"
+        "First Images Series: 1 2 3 4\n"
+        "Second Images Series: 10 11 12 [Order] \n"
+        "Third Images Series: 20 21 22 [ReverseOrder] \n"
+        "1\n"
+        "First Images Series: 5 6 7\n"
+    )
+    data = parse_group_sequence(str(p))
+    assert data[0][0] == [1, 2, 3, 4]
+    assert data[0][1] == [10, 11, 12]
+    assert data[0][2] == [22, 21, 20]  # reversed on read
+    assert data[1][0] == [5, 6, 7]
+
+
+def test_iqr_filtered_mean_rejects_outliers():
+    rng = np.random.RandomState(0)
+    rows = 1.0 + 0.01 * rng.randn(50, 3)
+    rows[3] = [100.0, -100.0, 50.0]  # gross outlier
+    m = compute_filtered_mean(rows)
+    np.testing.assert_allclose(m, 1.0, atol=0.01)
+
+
+def test_estimate_alignment_recovers_transform():
+    key = jax.random.PRNGKey(0)
+    T_gt = np.asarray(lie.se3_exp(jnp.array([0.5, -0.3, 0.2, 0.1, -0.05, 0.2])))
+    loop_poses = np.asarray(lie.se3_exp(0.3 * jax.random.normal(key, (20, 6))))
+    old_poses = np.array(lie.se3_mul(jnp.asarray(T_gt)[None], jnp.asarray(loop_poses)))
+    # corrupt a few correspondences
+    old_poses[2, :3] += 5.0
+    old_poses[7, :3] -= 3.0
+
+    T, rows = estimate_alignment(old_poses, loop_poses)
+    np.testing.assert_allclose(T[:3], T_gt[:3], atol=0.02)
+    assert abs(float(np.dot(T[3:7], T_gt[3:7]))) > 0.999
+
+    # applying T^-1 to the transformed map returns it to the loop frame
+    back = transform_poses(T, old_poses)
+    good = np.ones(20, bool)
+    good[[2, 7]] = False
+    np.testing.assert_allclose(back[good], loop_poses[good], atol=0.05)
+
+
+@pytest.mark.slow
+def test_joint_backend_two_sessions():
+    from droid_slam_reserch_tpu.engine import Droid
+    from droid_slam_reserch_tpu.engine.droid import init_params
+    from droid_slam_reserch_tpu.multisession import joint_backend
+    from tests.test_engine import make_config, run_sequence
+
+    cfg = make_config()
+    params = init_params(cfg, seed=0)
+
+    states = []
+    for seed in (0, 1):
+        droid = Droid(cfg, params=params)
+        run_sequence(droid, 8)
+        states.append(droid.video.state_dict())
+
+    refined = joint_backend(cfg, params, states, steps=1)
+    assert len(refined) == 2
+    for r, s in zip(refined, states):
+        assert r.shape == s["poses"].shape
+        assert np.all(np.isfinite(r))
