@@ -6,7 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..lie import se3_identity
-from ..ops import altcorr_pyramid, pool2x_fmap
+from ..ops import build_pyramid, corr_lookup_pyramid, corr_volume
 
 
 @partial(jax.jit, static_argnames=("update_apply", "dtype"))
@@ -21,10 +21,8 @@ def _motion_check(update_apply, params, fmap1, fmap2, net, inp, dtype=jnp.float3
                           jnp.arange(w8, dtype=jnp.float32), indexing="ij")
     coords0 = jnp.stack([xs, ys], axis=-1)[None]
 
-    pyr = [fmap2[None]]
-    for _ in range(3):
-        pyr.append(pool2x_fmap(pyr[-1]))
-    corr = altcorr_pyramid(fmap1[None], pyr, coords0)
+    pyr = build_pyramid(corr_volume(fmap1[None], fmap2[None]), num_levels=4)
+    corr = corr_lookup_pyramid(pyr, coords0)
 
     _, delta, _ = update_apply(
         params, net[None, None], inp[None, None], corr[None].astype(dtype), None

@@ -212,10 +212,9 @@ class Video:
         target_p = jnp.concatenate([target, jnp.zeros(pad_shape, target.dtype)], axis=0)
         weight_p = jnp.concatenate([weight, jnp.zeros(pad_shape, weight.dtype)], axis=0)
 
-        be, bm = schur_pairs(ii_l[:n], MW)
-        R = _round_up(be.shape[1] + 1, 4) - 1  # bucket the max degree too
-        be = np.pad(be, ((0, 0), (0, R - be.shape[1])))
-        bm = np.pad(bm, ((0, 0), (0, R - bm.shape[1])))
+        from ..native import bucket_tables
+
+        be, bm = bucket_tables(ii_l[:n], MW)
 
         free = np.zeros(MW, dtype=bool)
         free[t0 - m0 : t1 - m0] = True
