@@ -112,6 +112,7 @@ def ba_iterations(
     motion_only=False,
     alpha=0.05,
     min_depth=0.25,
+    use_pallas=False,
 ):
     """Windowed dense bundle adjustment with local frame indices.
 
@@ -133,15 +134,31 @@ def ba_iterations(
     def iteration(_, state):
         poses, disps = state
 
-        blk = build_system_blocks(
-            target[None], weight[None], poses[None], disps[None], intr_full[None],
-            ii, jj, min_depth=min_depth,
-        )
-        Hii, Hij = blk["Hii"][0], blk["Hij"][0]
-        Hji, Hjj = blk["Hji"][0], blk["Hjj"][0]
-        vi, vj = blk["vi"][0], blk["vj"][0]
-        Ei, Ej = blk["Ei"][0], blk["Ej"][0]
-        Ck, wk = blk["Ck"][0], blk["wk"][0]
+        if use_pallas:
+            # fused Pallas system builder — Jacobians never materialized
+            from ..geom.projective import relative_poses
+            from ..lie import quat_to_matrix
+            from ..ops.pallas_ba import build_system_blocks_pallas
+
+            Gij = relative_poses(poses[None], ii, jj)[0]
+            blk = build_system_blocks_pallas(
+                target.transpose(0, 3, 1, 2), weight.transpose(0, 3, 1, 2),
+                quat_to_matrix(Gij[:, 3:7]), Gij[:, :3], disps[ii],
+                intrinsics, ii != jj, min_depth=min_depth,
+            )
+            Hii, Hij, Hji, Hjj = blk["Hii"], blk["Hij"], blk["Hji"], blk["Hjj"]
+            vi, vj, Ei, Ej = blk["vi"], blk["vj"], blk["Ei"], blk["Ej"]
+            Ck, wk = blk["Ck"], blk["wk"]
+        else:
+            blk = build_system_blocks(
+                target[None], weight[None], poses[None], disps[None], intr_full[None],
+                ii, jj, min_depth=min_depth,
+            )
+            Hii, Hij = blk["Hii"][0], blk["Hij"][0]
+            Hji, Hjj = blk["Hji"][0], blk["Hjj"][0]
+            vi, vj = blk["vi"][0], blk["vj"][0]
+            Ei, Ej = blk["Ei"][0], blk["Ej"][0]
+            Ck, wk = blk["Ck"][0], blk["wk"][0]
 
         ok = jnp.ones_like(ii, dtype=bool)
         Hmat = (
@@ -221,5 +238,5 @@ def ba_iterations(
 # inline the same math inside a larger jit (factor_graph._fused_rounds)
 ba_solve = jax.jit(
     ba_iterations,
-    static_argnames=("iterations", "motion_only", "alpha", "min_depth"),
+    static_argnames=("iterations", "motion_only", "alpha", "min_depth", "use_pallas"),
 )

@@ -1,19 +1,17 @@
 """Covisibility factor graph (reference factor_graph.py:11-379).
 
-Host numpy owns the edge bookkeeping (add/remove/dedup/NMS — all
-data-dependent control flow, as in the reference); the numeric hot path is
-one fused jit program per update: reproject -> motion features -> fused
-correlation (altcorr over the video's feature pyramid) -> ConvGRU update
-operator -> graph aggregation.  Dense BA then runs through
-``Video.ba`` (static-shape windowed solver).
+Host bookkeeping (add/remove/dedup/NMS — all data-dependent control flow,
+as in the reference) runs in numpy or the native C++ library; the numeric
+hot path is one fused jit program per *keyframe* (``_fused_rounds``):
+correlation volume build -> K rounds of {reproject -> motion features ->
+volume lookup -> ConvGRU update -> aggregation -> dense BA}.
 
 Design deltas vs the reference:
-- correlation is always the fused on-the-fly kind; no O(N H^2 W^2) volumes
-  are ever materialized (the reference uses volumes in the frontend,
-  factor_graph.py:112-117, and altcorr only in the backend) — on TPU the
-  fused path is MXU-bound and strictly better;
-- edge counts and aggregation windows are padded to buckets so jit
-  signatures recur.
+- correlation volumes are built on the MXU inside the fused program and
+  sampled with scalar gathers; nothing persists between keyframes (the
+  reference caches volume pyramids per edge, factor_graph.py:112-117);
+- edge counts, BA windows, and Schur degrees are padded to buckets so jit
+  signatures recur; the host pays one dispatch per keyframe.
 """
 from functools import partial
 
@@ -86,7 +84,7 @@ def _update_op_step(
 
 @partial(
     jax.jit,
-    static_argnames=("apply_fn", "rounds", "ba_iters", "dtype"),
+    static_argnames=("apply_fn", "rounds", "ba_iters", "dtype", "use_pallas"),
 )
 def _fused_rounds(
     apply_fn,
@@ -120,6 +118,7 @@ def _fused_rounds(
     damping_eps,
     min_depth,
     dtype=jnp.float32,
+    use_pallas=False,
 ):
     """K rounds of (update op + dense BA) as ONE XLA program.
 
@@ -178,6 +177,7 @@ def _fused_rounds(
             poses, disps, intr, disps_sens_win, target_all, weight_all, eta_ba,
             ii_all, jj_all, free_mask, bucket_edges, bucket_mask,
             iterations=ba_iters, lm=lm, ep=ep, min_depth=min_depth,
+            use_pallas=use_pallas,
         )
         disps = jnp.maximum(disps, 0.001)
         return poses, disps, damping, nets, target_a, weight_a
@@ -497,7 +497,7 @@ class FactorGraph:
             rounds=rounds, ba_iters=itrs,
             lm=cfg.frontend_lm, ep=cfg.frontend_ep,
             damping_eps=cfg.damping_eps, min_depth=cfg.min_depth,
-            dtype=self.dtype,
+            dtype=self.dtype, use_pallas=cfg.use_pallas_ba,
         )
 
         video.poses = video.poses.at[sl].set(poses)

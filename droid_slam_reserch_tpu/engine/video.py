@@ -231,7 +231,7 @@ class Video:
             jnp.asarray(ii_l), jnp.asarray(jj_l), jnp.asarray(free),
             jnp.asarray(be), jnp.asarray(bm),
             iterations=iterations, lm=lm, ep=ep, motion_only=motion_only,
-            min_depth=cfg.min_depth,
+            min_depth=cfg.min_depth, use_pallas=cfg.use_pallas_ba,
         )
         disps_w = jnp.maximum(disps_w, 0.001)  # reference depth_video.py:204
         self.poses = _set_range(self.poses, m0, poses_w)

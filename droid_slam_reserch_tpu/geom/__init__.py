@@ -9,6 +9,7 @@ from .projective import (
     proj,
     actp,
     projective_transform,
+    projmap,
     induced_flow,
     frame_distance,
     MIN_DEPTH,

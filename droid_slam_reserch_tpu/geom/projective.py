@@ -173,6 +173,19 @@ def projective_transform(
     return x1, valid
 
 
+def projmap(poses, disps, intrinsics, ii, jj, group="se3", min_depth=MIN_DEPTH):
+    """Dense reprojection coords + validity per edge with the depth channel.
+
+    API-parity twin of droid_backends.projmap (reference
+    src/droid_kernels.cu:427-516 — unused by the reference's Python in this
+    fork but part of the kernel API surface).
+    """
+    return projective_transform(
+        poses, disps, intrinsics, ii, jj, return_depth=True,
+        group=group, min_depth=min_depth,
+    )
+
+
 def induced_flow(poses, disps, intrinsics, ii, jj, group="se3"):
     """Optical flow induced by camera motion (reference :127-138)."""
     ht, wd = disps.shape[-2:]

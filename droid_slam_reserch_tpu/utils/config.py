@@ -60,6 +60,7 @@ class DroidConfig:
     quality_min_thresh: float = 10.0
 
     # TPU execution
+    use_pallas_ba: bool = False         # fused Pallas BA system builder
     edge_bucket: int = 16                  # pad edge counts to multiples
     window_bucket: int = 8                 # pad BA window sizes to multiples
     compute_dtype: str = "float32"         # "bfloat16" on TPU for the network
