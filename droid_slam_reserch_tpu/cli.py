@@ -10,6 +10,7 @@ Usage:
   python -m droid_slam_reserch_tpu.cli train --datapath .../TartanAir
 """
 import argparse
+import os
 import json
 import sys
 
@@ -77,12 +78,14 @@ def cmd_demo(args):
 
     cfg = _config_from_args(DroidConfig(image_size=(240, 320)), args)
     # probe first frame for actual stream resolution
-    probe = next(iter(generic_image_stream(args.imagedir, args.calib, args.stride)))
+    probe = next(iter(generic_image_stream(args.imagedir, args.calib, args.stride,
+                                           target_area=args.target_area)))
     h, w = probe[1].shape[:2]
     cfg = cfg.replace(image_size=(h, w))
 
     droid = Droid(cfg)
-    stream = generic_image_stream(args.imagedir, args.calib, args.stride)
+    stream = generic_image_stream(args.imagedir, args.calib, args.stride,
+                                  target_area=args.target_area)
     _track_stream(droid, stream)
     if args.reconstruction_path:
         droid.save_reconstruction(args.reconstruction_path)
@@ -105,6 +108,18 @@ def cmd_euroc(args):
     stream = euroc_stream(args.datapath, image_size=cfg.image_size,
                           stereo=args.stereo, stride=args.stride)
     _track_stream(droid, stream)
+
+    if args.reconstruction_path:
+        # multisession stage 1: session checkpoint + keyframe image export
+        # (reference Euroc_Multisession_Stereo/KeyFramesAndRawData.py)
+        droid.save_reconstruction(args.reconstruction_path)
+        from .multisession.pipeline import extract_images_by_timestamp
+
+        extract_images_by_timestamp(
+            os.path.join(args.datapath, "cam0/data"),
+            droid.video.tstamp[: droid.video.counter],
+            os.path.join(args.reconstruction_path, "keyframes_cam0"),
+        )
 
     fill_stream = (
         (t, im, intr)
@@ -198,6 +213,37 @@ def cmd_tartanair(args):
         print(json.dumps(res))
 
 
+def cmd_view(args):
+    """Export a saved reconstruction as a PLY point cloud (vis_*.py analog)."""
+    from .viz import export_ply, reconstruction_pointcloud
+
+    state = dict(np.load(args.reconstruction, allow_pickle=True))
+    pts, cols = reconstruction_pointcloud(state)
+    export_ply(args.out, pts, cols)
+    print(f"wrote {len(pts)} points to {args.out}")
+
+
+def cmd_multisession(args):
+    """Stages 2+3 of the multisession pipeline over saved session npz files
+    (reference Euroc_Multisession_Stereo/{AdjustCoordinates,BackendAllMaps}.py)."""
+    import glob as _glob
+
+    from .multisession import fuse_maps
+    from .utils import EUROC_CONFIG
+    from .engine.droid import init_params
+
+    cfg = EUROC_CONFIG.replace(stereo=True, weights=args.weights)
+    params = init_params(cfg)
+    states = []
+    for p in sorted(_glob.glob(os.path.join(args.sessions, "*", "reconstruction.npz"))):
+        states.append(dict(np.load(p, allow_pickle=True)))
+        print(f"loaded {p}: {len(states[-1]['poses'])} keyframes")
+    fused = fuse_maps(cfg, params, states, subsample=args.subsample)
+    os.makedirs(args.out, exist_ok=True)
+    np.savez_compressed(os.path.join(args.out, "fused.npz"), **fused)
+    print(f"fused map: {len(fused['poses'])} keyframes -> {args.out}/fused.npz")
+
+
 def cmd_train(args):
     import jax
 
@@ -210,6 +256,7 @@ def cmd_train(args):
         name=args.name, lr=args.lr, steps=args.steps, batch=args.batch,
         n_frames=args.n_frames, iters=args.iters,
     )
+    os.makedirs("checkpoints", exist_ok=True)
     db = dataset_factory(["tartan"], datapath=args.datapath,
                          n_frames=cfg.n_frames, fmin=cfg.fmin, fmax=cfg.fmax)
     n_dev = jax.device_count()
@@ -218,6 +265,11 @@ def cmd_train(args):
     step, prepare = make_parallel_train_step(cfg, ii, jj, mesh)
 
     params, opt_state = init_train_state(cfg, image_size=cfg.image_size)
+    if args.ckpt:
+        import jax.numpy as _jnp
+
+        data = np.load(args.ckpt, allow_pickle=True)
+        params = jax.tree_util.tree_map(_jnp.asarray, data["params"].item())
     logger = Logger(cfg.name)
     rng = np.random.default_rng(12345)
 
@@ -249,6 +301,8 @@ def main(argv=None):
     p = sub.add_parser("demo")
     p.add_argument("--imagedir", required=True)
     p.add_argument("--calib", required=True)
+    p.add_argument("--target_area", type=int, default=384 * 512,
+                   help="resize frames so h*w ~= this (reference demo.py:66)")
     _add_slam_flags(p)
     p.set_defaults(fn=cmd_demo)
 
@@ -279,8 +333,21 @@ def main(argv=None):
     _add_slam_flags(p)
     p.set_defaults(fn=cmd_tartanair)
 
+    p = sub.add_parser("view")
+    p.add_argument("--reconstruction", required=True, help="reconstruction.npz")
+    p.add_argument("--out", default="cloud.ply")
+    p.set_defaults(fn=cmd_view)
+
+    p = sub.add_parser("multisession")
+    p.add_argument("--sessions", required=True, help="dir of session subdirs")
+    p.add_argument("--out", required=True)
+    p.add_argument("--weights", default=None)
+    p.add_argument("--subsample", type=int, default=2)
+    p.set_defaults(fn=cmd_multisession)
+
     p = sub.add_parser("train")
     p.add_argument("--datapath", required=True)
+    p.add_argument("--ckpt", default=None, help="npz checkpoint to resume from")
     p.add_argument("--name", default="droid")
     p.add_argument("--lr", type=float, default=2.5e-4)
     p.add_argument("--steps", type=int, default=250000)

@@ -10,6 +10,30 @@ from ..engine.droid import SDroid
 from .alignment import estimate_alignment, transform_poses
 
 
+def extract_images_by_timestamp(image_dir, tstamps, out_dir, tol=0.5):
+    """Export the raw images matching keyframe timestamps — stage 1's
+    keyframe image dump (reference loop_detect.py:82-105).
+
+    image_dir: directory of <timestamp>.png files (EuRoC cam layout);
+    tstamps: keyframe timestamps.  Returns the copied file list.
+    """
+    import glob
+    import os
+    import shutil
+
+    os.makedirs(out_dir, exist_ok=True)
+    files = sorted(glob.glob(os.path.join(image_dir, "*.png")))
+    stamps = np.array([float(os.path.basename(f)[:-4]) for f in files])
+    copied = []
+    for t in tstamps:
+        j = int(np.argmin(np.abs(stamps - t)))
+        if abs(stamps[j] - t) <= tol * max(1.0, abs(t)):
+            dst = os.path.join(out_dir, os.path.basename(files[j]))
+            shutil.copy(files[j], dst)
+            copied.append(dst)
+    return copied
+
+
 def run_loop_session(config, params, seed_poses, seed_disps, loop_stream,
                      good=True):
     """Warm-started "loop" replay session (reference AdjustCoordinates.py:
