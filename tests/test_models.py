@@ -184,3 +184,42 @@ def test_training_forward_runs():
     assert disp_list[0].shape == (B, P, H, W)
     for x in (Gs_list[-1], disp_list[-1], res_list[-1]):
         assert np.all(np.isfinite(np.asarray(x)))
+
+
+def test_instance_norm_matches_torch():
+    """InstanceNorm2d (affine=False) parity — weight-conversion fidelity
+    depends on exact norm semantics (SURVEY.md §7 hard part 5)."""
+    import torch
+
+    from droid_slam_reserch_tpu.models.layers import instance_norm
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(3, 10, 12, 16).astype(np.float32)
+    y = instance_norm(jnp.asarray(x))
+    yt = torch.nn.functional.instance_norm(
+        torch.from_numpy(x.transpose(0, 3, 1, 2))
+    ).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(y), yt, atol=1e-5)
+
+
+def test_volume_pool_matches_torch_avgpool():
+    """Volume pyramid pooling must match torch avg_pool2d floor semantics
+    (reference modules/corr.py:38), including odd sizes."""
+    import torch
+
+    from droid_slam_reserch_tpu.ops import pool2x_fmap, pool2x_volume
+
+    rng = np.random.RandomState(1)
+    vol = rng.randn(2, 3, 4, 5, 10).astype(np.float32)  # odd target dims
+    got = np.asarray(pool2x_volume(jnp.asarray(vol)))
+    expect = torch.nn.functional.avg_pool2d(
+        torch.from_numpy(vol.reshape(-1, 1, 5, 10)), 2, stride=2
+    ).numpy().reshape(2, 3, 4, 2, 5)
+    np.testing.assert_allclose(got, expect, atol=1e-6)
+
+    f = rng.randn(2, 7, 9, 8).astype(np.float32)
+    got = np.asarray(pool2x_fmap(jnp.asarray(f)))
+    expect = torch.nn.functional.avg_pool2d(
+        torch.from_numpy(f.transpose(0, 3, 1, 2)), 2, stride=2
+    ).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(got, expect, atol=1e-6)
