@@ -61,10 +61,12 @@ def _update_op_step(
     motn = jnp.concatenate([coords1 - coords0, target - coords1], axis=-1)
     motn = jnp.clip(motn, -64.0, 64.0)
 
-    # all-pairs correlation volume pyramid (MXU) + scalar lookups
+    # all-pairs correlation volume pyramid (MXU) + per-level interp-matrix
+    # lookups (XLA fuses the one-hot build into each level's matmul);
+    # stored in the compute dtype (bf16 on TPU) to halve volume bandwidth
     f1 = fmaps[ii, 0]
     f2 = fmaps[jj, cams]
-    pyr = build_pyramid(corr_volume(f1, f2), num_levels=4)
+    pyr = build_pyramid(corr_volume(f1, f2, dtype=dtype), num_levels=4)
     corr = corr_lookup_pyramid(pyr, coords1)
 
     net, delta, weight, eta, upmask = apply_fn(
@@ -137,12 +139,12 @@ def _fused_rounds(
     intr_win = jnp.broadcast_to(intr, (MW, 4))
 
     # all-pairs correlation volume pyramid, built ONCE per keyframe on the
-    # MXU and looked up with cheap scalar gathers every round.  On TPU this
-    # beats the reference's fused on-the-fly correlation by ~1000x: per-pixel
-    # channel-vector gathers do not vectorize, while the volume is one
-    # batched matmul (measured: 68 ms fused vs 0.1 ms volume+lookup at
-    # EuRoC scale).
-    pyr = build_pyramid(corr_volume(fmap1_e, fmap2_e), num_levels=4)
+    # MXU and sampled every round with per-level interpolation-matrix
+    # contractions (XLA fuses the one-hot build into each level's batched
+    # matmul — measured faster than a single packed matmul pair, whose
+    # operands XLA materializes); bf16 storage halves the volume bandwidth,
+    # the lookup's floor.
+    pyr = build_pyramid(corr_volume(fmap1_e, fmap2_e, dtype=dtype), num_levels=4)
 
     amask = active_mask[:, None, None, None].astype(jnp.float32)
 

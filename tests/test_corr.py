@@ -133,3 +133,23 @@ def test_gradients_flow():
     ga, gb = jax.grad(loss_fused, argnums=(0, 1))(f1, f2)
     assert np.all(np.isfinite(np.asarray(ga)))
     assert np.all(np.isfinite(np.asarray(gb)))
+
+
+def test_packed_lookup_matches_pyramid():
+    """packed_lookup (single batched matmul pair) vs per-level reference,
+    including far out-of-bounds coords at every level."""
+    from droid_slam_reserch_tpu.ops import pack_pyramid, packed_lookup
+
+    f1, f2 = feats(jax.random.PRNGKey(3))
+    pyr = build_pyramid(corr_volume(f1, f2), num_levels=4)
+    key = jax.random.PRNGKey(7)
+    gx, gy = jnp.meshgrid(jnp.arange(W, dtype=jnp.float32),
+                          jnp.arange(H, dtype=jnp.float32))
+    coords = jnp.broadcast_to(jnp.stack([gx, gy], -1)[None], (E, H, W, 2))
+    coords = coords + 12.0 * jax.random.normal(key, (E, H, W, 2))
+
+    ref = corr_lookup_pyramid(pyr, coords)
+    packed, meta = pack_pyramid(pyr)
+    got = packed_lookup(packed, meta, coords)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
