@@ -90,6 +90,8 @@ def main():
     damping = 1e-6 * jnp.ones((MW, h8, w8))
     empty_t = jnp.zeros((0, h8, w8, 2))
 
+    use_pallas = bool(int(os.environ.get("BENCH_PALLAS", "0")))
+
     def one_keyframe(poses, disps, damping, nets_e, target):
         """The whole per-keyframe frontend loop as one device program."""
         return _fused_rounds(
@@ -101,6 +103,7 @@ def main():
             free, be, bm,
             rounds=ROUNDS, ba_iters=2, lm=1e-4, ep=0.1,
             damping_eps=1e-7, min_depth=0.25, dtype=fdt,
+            use_pallas=use_pallas,
         )
 
     # warmup / compile

@@ -21,7 +21,8 @@ import numpy as np
 
 from ..ba.solver import ba_iterations, schur_pairs
 from ..geom import projective_transform, coords_grid
-from ..ops import build_pyramid, corr_lookup_pyramid, corr_volume
+from ..ops import corr_volume
+from ..ops.corr import build_pyramid_flat, corr_lookup_pyramid_flat
 
 
 def _round_up(x, m):
@@ -63,11 +64,15 @@ def _update_op_step(
 
     # all-pairs correlation volume pyramid (MXU) + per-level interp-matrix
     # lookups (XLA fuses the one-hot build into each level's matmul);
-    # stored in the compute dtype (bf16 on TPU) to halve volume bandwidth
+    # flat-pixel layout + compute dtype (bf16 on TPU) keep it copy-free
     f1 = fmaps[ii, 0]
     f2 = fmaps[jj, cams]
-    pyr = build_pyramid(corr_volume(f1, f2, dtype=dtype), num_levels=4)
-    corr = corr_lookup_pyramid(pyr, coords1)
+    E = f1.shape[0]
+    vol = corr_volume(f1, f2, dtype=dtype).reshape(E, h8 * w8, h8, w8)
+    pyr = build_pyramid_flat(vol, num_levels=4)
+    corr = corr_lookup_pyramid_flat(
+        pyr, coords1.reshape(E, h8 * w8, 2)
+    ).reshape(E, h8, w8, -1)
 
     net, delta, weight, eta, upmask = apply_fn(
         params,
@@ -142,9 +147,11 @@ def _fused_rounds(
     # MXU and sampled every round with per-level interpolation-matrix
     # contractions (XLA fuses the one-hot build into each level's batched
     # matmul — measured faster than a single packed matmul pair, whose
-    # operands XLA materializes); bf16 storage halves the volume bandwidth,
-    # the lookup's floor.
-    pyr = build_pyramid(corr_volume(fmap1_e, fmap2_e, dtype=dtype), num_levels=4)
+    # operands XLA materializes); flat-pixel layout + bf16 storage keep the
+    # volume reads copy-free — they are the lookup's bandwidth floor.
+    E = fmap1_e.shape[0]
+    vol = corr_volume(fmap1_e, fmap2_e, dtype=dtype).reshape(E, h8 * w8, h8, w8)
+    pyr = build_pyramid_flat(vol, num_levels=4)
 
     amask = active_mask[:, None, None, None].astype(jnp.float32)
 
@@ -159,7 +166,9 @@ def _fused_rounds(
             jnp.concatenate([coords1 - coords0, target_a - coords1], axis=-1),
             -64.0, 64.0,
         )
-        corr = corr_lookup_pyramid(pyr, coords1)
+        corr = corr_lookup_pyramid_flat(
+            pyr, coords1.reshape(E, h8 * w8, 2)
+        ).reshape(E, h8, w8, -1)
 
         nets, delta, weight, eta, _ = apply_fn(
             params, nets[None], inps_e[None], corr[None].astype(dtype),

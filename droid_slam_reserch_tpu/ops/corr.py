@@ -55,7 +55,12 @@ def pool2x_volume(vol):
     E, H1, W1, H2, W2 = vol.shape
     h, w = H2 // 2, W2 // 2
     v = vol[..., : 2 * h, : 2 * w].reshape(E, H1, W1, h, 2, w, 2)
-    return v.astype(jnp.float32).mean(axis=(4, 6)).astype(vol.dtype)
+    # explicit slice-sum: jnp.mean on bf16 accumulates in f32, which
+    # materializes a full f32 copy of the volume (measured 12 ms/keyframe
+    # on v5e); four native-dtype adds are exact for the 1/4 scale
+    return (
+        v[..., 0, :, 0] + v[..., 0, :, 1] + v[..., 1, :, 0] + v[..., 1, :, 1]
+    ) * jnp.asarray(0.25, vol.dtype)
 
 
 def pool2x_fmap(f):
@@ -129,16 +134,60 @@ def corr_lookup(vol, coords, radius=3):
     become MXU matmuls — see _interp_matrices).
     """
     E, H1, W1, H2, W2 = vol.shape
+    return _corr_lookup_flat(
+        vol.reshape(E, H1 * W1, H2, W2), coords.reshape(E, H1 * W1, 2), radius
+    ).reshape(E, H1, W1, (2 * radius + 1) ** 2)
+
+
+def _corr_lookup_flat(volp, coords, radius):
+    """corr_lookup on flat pixels: volp [E,P,H2,W2], coords [E,P,2] ->
+    [E,P,rd*rd] (channel a*rd+b)."""
+    E, P, H2, W2 = volp.shape
     rd = 2 * radius + 1
-    P = H1 * W1
-    Wy, Wx = _interp_matrices(coords.reshape(E, P, 2), H2, W2, radius)
-    Wy = Wy.astype(vol.dtype)
-    Wx = Wx.astype(vol.dtype)
-    volp = vol.reshape(E, P, H2, W2)
+    Wy, Wx = _interp_matrices(coords, H2, W2, radius)
+    Wy = Wy.astype(volp.dtype)
+    Wx = Wx.astype(volp.dtype)
     # rows: [E,P,b,W2] then taps: [E,P,a,b]
     tmp = jnp.einsum("epbh,ephw->epbw", Wy, volp)
     out = jnp.einsum("epbw,epaw->epab", tmp, Wx)
-    return out.reshape(E, H1, W1, rd * rd)
+    return out.reshape(E, P, rd * rd)
+
+
+def pool2x_volume_flat(volp):
+    """2x average pool over the trailing dims of a flat [E,P,H2,W2] volume."""
+    E, P, H2, W2 = volp.shape
+    h, w = H2 // 2, W2 // 2
+    v = volp[..., : 2 * h, : 2 * w].reshape(E, P, h, 2, w, 2)
+    return (
+        v[..., 0, :, 0] + v[..., 0, :, 1] + v[..., 1, :, 0] + v[..., 1, :, 1]
+    ) * jnp.asarray(0.25, volp.dtype)
+
+
+def build_pyramid_flat(volp, num_levels=4):
+    """Volume pyramid on flat [E,P,H2,W2] volumes (layout-stable on TPU)."""
+    pyr = [volp]
+    for _ in range(num_levels - 1):
+        volp = pool2x_volume_flat(volp)
+        pyr.append(volp)
+    return pyr
+
+
+def corr_lookup_pyramid_flat(pyramid, coords, radius=3):
+    """Pyramid lookup on flat volumes: pyramid of [E,P,h,w], coords [E,P,2]
+    -> [E,P,L*(2r+1)**2], level-major.  The flat-pixel form keeps every
+    intermediate in the default {3,2,1,0} layout — the 5D form costs ~2.5
+    ms/round of layout copies at EuRoC scale on v5e.
+
+    Kept strictly per-level: packing levels into one batched matmul pair
+    (fewer, larger batched ops) was tried twice and measured SLOWER — XLA
+    only pattern-fuses the one-hot construction into the matmul for the
+    simple single-level einsum; packed variants materialize the [E,P,·,·]
+    interpolation operands (~500 MB/round) and add layout copies."""
+    out = [
+        _corr_lookup_flat(vol, coords / (2.0 ** lvl), radius)
+        for lvl, vol in enumerate(pyramid)
+    ]
+    return jnp.concatenate(out, axis=-1)
 
 
 def corr_lookup_pyramid(pyramid, coords, radius=3):
@@ -146,10 +195,10 @@ def corr_lookup_pyramid(pyramid, coords, radius=3):
 
     Returns [E, H, W, L*(2r+1)**2], level-major channel order.
     """
-    out = []
-    for lvl, vol in enumerate(pyramid):
-        out.append(corr_lookup(vol, coords / (2.0 ** lvl), radius))
-    return jnp.concatenate(out, axis=-1)
+    E, H1, W1 = pyramid[0].shape[:3]
+    flat = [v.reshape(E, H1 * W1, *v.shape[3:]) for v in pyramid]
+    out = corr_lookup_pyramid_flat(flat, coords.reshape(E, H1 * W1, 2), radius)
+    return out.reshape(E, H1, W1, out.shape[-1])
 
 
 def pack_pyramid(pyramid):

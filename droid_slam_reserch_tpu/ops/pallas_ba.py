@@ -25,18 +25,23 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(params_ref, disps_ref, target_ref, weight_ref,
-            H_ref, v_ref, E_ref, C_ref, w_ref, *, HP, WP, min_depth, w_scale):
-    p = params_ref[0, 0]  # [24]: R(9), t(3), fx, fy, cx, cy, pose_mask
+            H_ref, v_ref, E_ref, C_ref, w_ref, *, HP, WP):
+    p = params_ref[0, 0]  # [24]: R(9), t(3), fx, fy, cx, cy, pose_mask,
+    #                             min_depth, w_scale (scalars ride the params
+    #                             vector so they may be jit tracers)
     R00, R01, R02 = p[0], p[1], p[2]
     R10, R11, R12 = p[3], p[4], p[5]
     R20, R21, R22 = p[6], p[7], p[8]
     tx, ty, tz = p[9], p[10], p[11]
     fx, fy, cx, cy = p[12], p[13], p[14], p[15]
     pose_mask = p[16]
+    min_depth = p[17]
+    w_scale = p[18]
 
     d_i = disps_ref[0]          # [H, W]
-    u = jax.lax.broadcasted_iota(jnp.float32, (HP, WP), 1)
-    v = jax.lax.broadcasted_iota(jnp.float32, (HP, WP), 0)
+    # Mosaic only lowers integer iota; convert to f32 after
+    u = jax.lax.broadcasted_iota(jnp.int32, (HP, WP), 1).astype(jnp.float32)
+    v = jax.lax.broadcasted_iota(jnp.int32, (HP, WP), 0).astype(jnp.float32)
 
     X = (u - cx) / fx
     Y = (v - cy) / fy
@@ -142,14 +147,14 @@ def build_system_blocks_pallas(
             Gij_t.reshape(N, 3),
             jnp.broadcast_to(intrinsics, (N, 4)),
             pose_mask.reshape(N, 1).astype(jnp.float32),
-            jnp.zeros((N, 7), jnp.float32),
+            jnp.broadcast_to(jnp.asarray(min_depth, jnp.float32), (N, 1)),
+            jnp.broadcast_to(jnp.asarray(w_scale, jnp.float32), (N, 1)),
+            jnp.zeros((N, 5), jnp.float32),
         ],
         axis=1,
     ).reshape(N, 1, 24)  # [N, 1, 24] (TPU block tiling needs 2D-compatible trailing dims)
 
-    kernel = functools.partial(
-        _kernel, HP=H, WP=W, min_depth=min_depth, w_scale=w_scale
-    )
+    kernel = functools.partial(_kernel, HP=H, WP=W)
     Hb, vb, Eb, Cb, wb = pl.pallas_call(
         kernel,
         grid=(N,),
