@@ -21,8 +21,7 @@ import numpy as np
 
 from ..ba.solver import ba_iterations, schur_pairs
 from ..geom import projective_transform, coords_grid
-from ..ops import corr_volume
-from ..ops.corr import build_pyramid_flat, corr_lookup_pyramid_flat
+from ..ops.corr import build_pyramid_flat, corr_lookup_pyramid_flat, corr_volume_flat
 
 
 def _round_up(x, m):
@@ -68,7 +67,7 @@ def _update_op_step(
     f1 = fmaps[ii, 0]
     f2 = fmaps[jj, cams]
     E = f1.shape[0]
-    vol = corr_volume(f1, f2, dtype=dtype).reshape(E, h8 * w8, h8, w8)
+    vol = corr_volume_flat(f1, f2, dtype=dtype)
     pyr = build_pyramid_flat(vol, num_levels=4)
     corr = corr_lookup_pyramid_flat(
         pyr, coords1.reshape(E, h8 * w8, 2)
@@ -150,7 +149,7 @@ def _fused_rounds(
     # operands XLA materializes); flat-pixel layout + bf16 storage keep the
     # volume reads copy-free — they are the lookup's bandwidth floor.
     E = fmap1_e.shape[0]
-    vol = corr_volume(fmap1_e, fmap2_e, dtype=dtype).reshape(E, h8 * w8, h8, w8)
+    vol = corr_volume_flat(fmap1_e, fmap2_e, dtype=dtype)
     pyr = build_pyramid_flat(vol, num_levels=4)
 
     amask = active_mask[:, None, None, None].astype(jnp.float32)
