@@ -108,7 +108,7 @@ def _patch_weights(coords):
     return xf.astype(jnp.int32), yf.astype(jnp.int32), dx, dy
 
 
-def _interp_matrices(coords, H2, W2, radius):
+def _interp_matrices(coords, H2, W2, radius, off_y=None, off_x=None):
     """Per-pixel sparse bilinear interpolation matrices.
 
     For each pixel with float lookup centre (x, y), the (2r+1) taps along an
@@ -129,8 +129,15 @@ def _interp_matrices(coords, H2, W2, radius):
     xf, yf, dx, dy = _patch_weights(coords)
     rd = 2 * radius + 1
     taps = jnp.arange(rd, dtype=jnp.int32) - radius
+    # integer offsets let windowed/padded volumes reuse this path with the
+    # raw coords (adding a float offset to the coords instead would round
+    # the bilinear fractions — measured ~2e-6 parity error)
     ioh = jnp.arange(H2, dtype=jnp.int32)
     iow = jnp.arange(W2, dtype=jnp.int32)
+    if off_y is not None:
+        ioh = ioh + jnp.asarray(off_y, jnp.int32)[..., None, None]
+    if off_x is not None:
+        iow = iow + jnp.asarray(off_x, jnp.int32)[..., None, None]
     # [..., rd, 1] integer base per tap
     yc = yf[..., None, None] + taps[:, None]
     xc = xf[..., None, None] + taps[:, None]
@@ -158,12 +165,13 @@ def corr_lookup(vol, coords, radius=3):
     ).reshape(E, H1, W1, (2 * radius + 1) ** 2)
 
 
-def _corr_lookup_flat(volp, coords, radius):
+def _corr_lookup_flat(volp, coords, radius, off_y=None, off_x=None):
     """corr_lookup on flat pixels: volp [E,P,H2,W2], coords [E,P,2] ->
-    [E,P,rd*rd] (channel a*rd+b)."""
+    [E,P,rd*rd] (channel a*rd+b).  off_y/off_x map volume indices to the
+    coords' frame (windowed/padded volumes)."""
     E, P, H2, W2 = volp.shape
     rd = 2 * radius + 1
-    Wy, Wx = _interp_matrices(coords, H2, W2, radius)
+    Wy, Wx = _interp_matrices(coords, H2, W2, radius, off_y, off_x)
     Wy = Wy.astype(volp.dtype)
     Wx = Wx.astype(volp.dtype)
     # rows: [E,P,b,W2] then taps: [E,P,a,b]
@@ -302,6 +310,261 @@ def packed_lookup(packed, meta, coords, radius=3):
     # [E,P,L,b(y),a(x)] -> channel order a*rd + b within each level
     out = out.transpose(0, 1, 2, 4, 3)
     return out.reshape(E, H1, W1, L * rd * rd)
+
+
+# --------------------------------------------------------------------------
+# Pixels-last ("P-major") lookup — the TPU-native gather.
+#
+# Any per-pixel batched matmul on TPU pays MXU tile padding per batch
+# element, so the one-hot contraction lookup costs the same whether it
+# reads 24 or 64 volume rows (~14-23 ms/round at EuRoC scale on v5e).
+# Storing the volume as [E, H2, W2, P] instead puts the gathered dims on
+# MAJOR axes: slicing at any offset is free, and resolving each pixel's
+# 8-row tap window becomes a binary tree of `where` selects with the
+# per-pixel condition broadcast across lanes — pure, fusable VPU work.
+# The volume is zero-padded by 8 on each side so out-of-image taps read
+# zeros, reproducing within_bounds (correlation_kernels.cu:47-69) with no
+# masks; clamped window starts land entirely inside the zero border.
+# --------------------------------------------------------------------------
+
+_PPAD = 8  # zero border on each side of each P-major volume level
+
+
+def corr_volume_pmajor(f1, f2, dtype=None):
+    """All-pairs correlation volume in pixels-last form.
+
+    f1: [E, H1, W1, C], f2: [E, H2, W2, C] -> [E, H2, W2, H1*W1], 1/16.
+    """
+    E, H1, W1, C = f1.shape
+    v = jnp.einsum(
+        "epc,ehwc->ehwp",
+        f1.reshape(E, H1 * W1, C).astype(jnp.float32),
+        f2.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    v = v / 16.0
+    return v.astype(dtype) if dtype is not None else v
+
+
+def pool2x_pmajor(v):
+    """2x average pool over the (major) spatial dims of [E, H, W, P]."""
+    E, H, W, P = v.shape
+    h, w = H // 2, W // 2
+    x = v[:, : 2 * h, : 2 * w].reshape(E, h, 2, w, 2, P)
+    return (
+        x[:, :, 0, :, 0] + x[:, :, 0, :, 1] + x[:, :, 1, :, 0] + x[:, :, 1, :, 1]
+    ) * jnp.asarray(0.25, v.dtype)
+
+
+def build_pyramid_pmajor(f1, f2, num_levels=4, dtype=None):
+    """Padded P-major volume pyramid + meta of (H2, W2) per level."""
+    vol = corr_volume_pmajor(f1, f2, dtype=dtype)
+    pyr = [vol]
+    for _ in range(num_levels - 1):
+        vol = pool2x_pmajor(vol)
+        pyr.append(vol)
+    padded = [
+        jnp.pad(v, ((0, 0), (_PPAD, _PPAD), (_PPAD, _PPAD), (0, 0)))
+        for v in pyr
+    ]
+    meta = tuple(v.shape[1:3] for v in pyr)
+    return padded, meta
+
+
+def _tree_take8(x, s, axis, R):
+    """Per-lane window select: returns x[..., s:s+8, ...] along `axis`.
+
+    x has R+8 entries along `axis`; s (broadcastable int32 against x with
+    that axis at extent 1) is in [0, R].  A binary tree of major-axis
+    slices + `where` selects — each stage halves the range; slicing major
+    axes is free on TPU, and the select chain fuses into a single pass.
+    """
+    while R > 0:
+        b = (R + 1) // 2
+        Rp = max(b - 1, R - b)
+        n = Rp + 8
+        left = jax.lax.slice_in_dim(x, 0, n, axis=axis)
+        right = jax.lax.slice_in_dim(x, b, b + n, axis=axis)
+        cond = s >= b
+        x = jnp.where(cond, right, left)
+        s = s - b * cond.astype(s.dtype)
+        R = Rp
+    return x
+
+
+def corr_lookup_pmajor(padded, meta, coords, radius=3):
+    """Pyramid lookup on a padded P-major volume: [E, P, L*(2r+1)**2].
+
+    Semantics identical to corr_lookup_pyramid_flat (channel a*(2r+1)+b,
+    a = x tap; zero outside the image; level-major concat); arithmetic
+    differs only in bilinear blend association (two VPU fmas instead of an
+    MXU two-term dot).
+    """
+    coords = jax.lax.stop_gradient(coords)
+    E, P = coords.shape[:2]
+    rd = 2 * radius + 1
+    outs = []
+    for lvl, (v, (H2, W2)) in enumerate(zip(padded, meta)):
+        Hp, Wp = v.shape[1:3]
+        c = coords / (2.0 ** lvl)
+        x0, y0 = c[..., 0], c[..., 1]
+        xf = jnp.floor(x0)
+        yf = jnp.floor(y0)
+        dy = (y0 - yf)[:, None, None, :].astype(v.dtype)
+        dx = (x0 - xf)[:, None, None, :].astype(v.dtype)
+        sy = jnp.clip(yf.astype(jnp.int32) + (_PPAD - radius), 0, Hp - 8)
+        sx = jnp.clip(xf.astype(jnp.int32) + (_PPAD - radius), 0, Wp - 8)
+        w8 = _tree_take8(v, sy[:, None, None, :], axis=1, R=Hp - 8)  # [E,8,Wp,P]
+        yb = (1 - dy) * w8[:, :rd] + dy * w8[:, 1 : rd + 1]          # [E,7,Wp,P]
+        x8 = _tree_take8(yb, sx[:, None, None, :], axis=2, R=Wp - 8)  # [E,7,8,P]
+        xb = (1 - dx) * x8[:, :, :rd] + dx * x8[:, :, 1 : rd + 1]    # [E,7b,7a,P]
+        outs.append(jnp.swapaxes(xb, 1, 2).reshape(E, rd * rd, P))
+    cat = jnp.concatenate(outs, axis=1)          # [E, L*49, P]
+    return jnp.swapaxes(cat, 1, 2)               # [E, P, L*49]
+
+
+# --------------------------------------------------------------------------
+# Windowed lookup with per-keyframe window caching.
+#
+# The full-volume lookup reads every volume row per pixel per round (the
+# one-hot contraction touches all H2 rows); at EuRoC scale that is ~14 ms
+# per frontend round on v5e — the single largest cost in the engine.  But
+# the frontend runs ~6 rounds per keyframe and the lookup coords (the
+# reprojection) move by well under a pixel between rounds once BA starts
+# converging.  So: once per keyframe, extract a per-pixel 24x24 window
+# around the initial coords from an 8-zero-padded volume (pure 8-aligned
+# slab selection — block one-hot matmuls that read the volume once), and
+# per round run the exact bilinear lookup inside the cached windows.
+# Selection is exact (0/1 matmuls) and the in-window fine lookup performs
+# the same two-term bilinear sums as the full path, so results agree to
+# <= 1 ulp (only FMA reassociation across the shorter contraction differs)
+# whenever the taps stay inside the window; a
+# per-call `bad` flag (lax.cond'ed in the engine) falls back to the full
+# path when any pixel drifts out (> ~8 px between rounds).
+#
+# Reference semantics preserved: zero padding reproduces within_bounds
+# zeroing (correlation_kernels.cu:47-69) because out-of-image taps land in
+# the zero border.
+# --------------------------------------------------------------------------
+
+_WPAD = 8          # zero-pad on each side of each volume level
+_WWIN = 24         # window extent (rows and cols)
+_WTOL = _WWIN - _WPAD  # max local window start (drift tolerance bound)
+
+
+def _round_up8(x):
+    return ((x + 7) // 8) * 8
+
+
+def pad_pyramid_flat(pyramid):
+    """Zero-pad each [E,P,H2,W2] level by 8 on every side (rounded up to
+    multiples of 8 rows/cols).  Returns (padded_levels, meta) with meta a
+    tuple of (H2, W2, Hp, Wp) per level."""
+    out = []
+    meta = []
+    for v in pyramid:
+        E, P, H2, W2 = v.shape
+        Hp, Wp = _round_up8(H2 + 2 * _WPAD), _round_up8(W2 + 2 * _WPAD)
+        out.append(jnp.pad(v, ((0, 0), (0, 0), (_WPAD, Hp - H2 - _WPAD),
+                               (_WPAD, Wp - W2 - _WPAD))))
+        meta.append((H2, W2, Hp, Wp))
+    return out, tuple(meta)
+
+
+def window_bases(coords, meta, radius=3):
+    """8-aligned per-pixel window bases from level-0 coords.
+
+    coords: [E, P, 2].  Returns list of (by, bx) int32 [E, P] per level
+    (None for levels whose padded volume is not larger than the window —
+    those use the full padded level directly)."""
+    coords = jax.lax.stop_gradient(coords)
+    bases = []
+    for lvl, (H2, W2, Hp, Wp) in enumerate(meta):
+        if Hp <= _WWIN and Wp <= _WWIN:
+            bases.append(None)
+            continue
+        c = coords / (2.0 ** lvl)
+        # padded row/col of the first tap (floor - radius + pad)
+        ylc = jnp.floor(c[..., 1]).astype(jnp.int32) - radius + _WPAD
+        xlc = jnp.floor(c[..., 0]).astype(jnp.int32) - radius + _WPAD
+        # round the base to the nearest slab so the initial window start
+        # lands in [4, 11] — at least +-4 px of drift tolerance each way
+        by = jnp.clip(((ylc + 4) // 8) * 8 - 8, 0, max(Hp - _WWIN, 0))
+        bx = jnp.clip(((xlc + 4) // 8) * 8 - 8, 0, max(Wp - _WWIN, 0))
+        bases.append((by, bx))
+    return bases
+
+
+def extract_windows(padded, meta, bases):
+    """Per-pixel 24x24 windows via 8-aligned slab selection.
+
+    Each selection matmul is a one-hot over whole 8-row (8-col) slabs, so
+    the volume is read exactly once and the extracted values are exact."""
+    wins = []
+    for vol, (H2, W2, Hp, Wp), base in zip(padded, meta, bases):
+        if base is None:
+            wins.append(vol)
+            continue
+        E, P = vol.shape[:2]
+        ns = _WWIN // 8
+        by, bx = base
+        qy = by // 8
+        qx = bx // 8
+        s = jnp.arange(ns, dtype=jnp.int32)
+        # rows: [E,P,ns,Hp/8] one-hot of slabs qy..qy+2
+        ohy = (qy[..., None, None] + s[:, None] ==
+               jnp.arange(Hp // 8, dtype=jnp.int32)).astype(vol.dtype)
+        v5 = vol.reshape(E, P, Hp // 8, 8 * Wp)
+        t = jnp.einsum("epsq,epqw->epsw", ohy, v5).reshape(E, P, _WWIN, Wp)
+        # cols
+        ohx = (qx[..., None, None] + s[:, None] ==
+               jnp.arange(Wp // 8, dtype=jnp.int32)).astype(vol.dtype)
+        t2 = t.reshape(E, P, _WWIN, Wp // 8, 8)
+        w = jnp.einsum("epsq,eprqw->eprsw", ohx, t2).reshape(E, P, _WWIN, _WWIN)
+        wins.append(w)
+    return wins
+
+
+def window_drift_ok(coords, meta, bases, radius=3):
+    """True iff every pixel's taps stay inside its cached window (so the
+    windowed lookup matches the full lookup to <= 1 ulp)."""
+    coords = jax.lax.stop_gradient(coords)
+    ok = jnp.bool_(True)
+    for lvl, ((H2, W2, Hp, Wp), base) in enumerate(zip(meta, bases)):
+        if base is None:
+            continue
+        c = coords / (2.0 ** lvl)
+        ylc = jnp.floor(c[..., 1]).astype(jnp.int32) - radius + _WPAD
+        xlc = jnp.floor(c[..., 0]).astype(jnp.int32) - radius + _WPAD
+        by, bx = base
+        sy = ylc - by
+        sx = xlc - bx
+        # a pixel is fine if its window start is within tolerance OR all of
+        # its taps land on zero rows/cols (outside [pad, pad + H2) both the
+        # full path's within_bounds zeroing and the window path yield 0)
+        bad_y = ((sy < 0) | (sy > _WTOL)) & (ylc >= 0) & (ylc <= H2 + _WPAD - 1)
+        bad_x = ((sx < 0) | (sx > _WTOL)) & (xlc >= 0) & (xlc <= W2 + _WPAD - 1)
+        ok = ok & ~jnp.any(bad_y | bad_x)
+    return ok
+
+
+def corr_lookup_windows(wins, meta, bases, coords, radius=3):
+    """Exact pyramid lookup against cached windows: [E,P,L*(2r+1)**2].
+
+    Mirrors corr_lookup_pyramid_flat to <= 1 ulp while taps stay in-window
+    (same two-stage one-hot contractions, same dtypes, same channel order;
+    only FMA grouping over the shorter contraction differs)."""
+    out = []
+    for lvl, (win, (H2, W2, Hp, Wp), base) in enumerate(zip(wins, meta, bases)):
+        c = coords / (2.0 ** lvl)
+        if base is None:
+            off_y = off_x = -_WPAD
+        else:
+            by, bx = base
+            off_y = by - _WPAD
+            off_x = bx - _WPAD
+        out.append(_corr_lookup_flat(win, c, radius, off_y, off_x))
+    return jnp.concatenate(out, axis=-1)
 
 
 def altcorr(f1, f2, coords, radius=3):

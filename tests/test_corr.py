@@ -153,3 +153,81 @@ def test_packed_lookup_matches_pyramid():
     got = packed_lookup(packed, meta, coords)
     assert got.shape == ref.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_windowed_lookup_bit_identical():
+    """Window-cached lookup == full lookup (to <= 1 ulp) while taps stay
+    in-window — the per-keyframe caching seam used by the fused frontend."""
+    from droid_slam_reserch_tpu.ops.corr import (
+        build_pyramid_flat, corr_volume_flat, corr_lookup_pyramid_flat,
+        pad_pyramid_flat, window_bases, extract_windows,
+        corr_lookup_windows, window_drift_ok,
+    )
+    key = jax.random.PRNGKey(7)
+    h, w = 16, 24
+    f1 = jax.random.normal(key, (E, h, w, C))
+    f2 = jax.random.normal(jax.random.fold_in(key, 1), (E, h, w, C))
+    vol = corr_volume_flat(f1.reshape(E, h * w, C).reshape(E, h, w, C), f2)
+    pyr = build_pyramid_flat(vol, num_levels=4)
+    padded, meta = pad_pyramid_flat(pyr)
+
+    P = h * w
+    # coords near the grid (incl. off-image values -> zero taps)
+    gx, gy = jnp.meshgrid(jnp.arange(w, dtype=jnp.float32),
+                          jnp.arange(h, dtype=jnp.float32), indexing="xy")
+    grid = jnp.stack([gx, gy], -1).reshape(1, P, 2)
+    coords0 = grid + jax.random.uniform(key, (E, P, 2), minval=-3.0, maxval=3.0)
+    bases = window_bases(coords0, meta)
+    wins = extract_windows(padded, meta, bases)
+
+    # small drift: must stay bit-identical
+    coords1 = coords0 + jax.random.uniform(
+        jax.random.fold_in(key, 2), (E, P, 2), minval=-1.5, maxval=1.5)
+    assert bool(window_drift_ok(coords1, meta, bases))
+    full = corr_lookup_pyramid_flat(pyr, coords1)
+    wind = corr_lookup_windows(wins, meta, bases, coords1)
+    # identical taps and weights; only FMA reassociation differs (<= 1 ulp)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(wind),
+                               atol=2e-6, rtol=1e-6)
+
+    # off-image coords are fine too (zero taps on both paths)
+    coords_off = coords0.at[0, 0].set(jnp.array([-50.0, -50.0]))
+    bases_off = window_bases(coords_off, meta)
+    wins_off = extract_windows(padded, meta, bases_off)
+    full = corr_lookup_pyramid_flat(pyr, coords_off)
+    wind = corr_lookup_windows(wins_off, meta, bases_off, coords_off)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(wind),
+                               atol=2e-6, rtol=1e-6)
+
+    # large drift must trip the fallback flag
+    coords_big = coords0 + 12.0
+    assert not bool(window_drift_ok(coords_big, meta, bases))
+
+
+def test_pmajor_lookup_matches_flat():
+    """Pixels-last tree-select lookup == one-hot contraction lookup."""
+    from droid_slam_reserch_tpu.ops.corr import (
+        build_pyramid_flat, corr_volume_flat, corr_lookup_pyramid_flat,
+        build_pyramid_pmajor, corr_lookup_pmajor,
+    )
+    key = jax.random.PRNGKey(11)
+    h, w = 16, 24
+    f1 = jax.random.normal(key, (E, h, w, C))
+    f2 = jax.random.normal(jax.random.fold_in(key, 1), (E, h, w, C))
+    pyr = build_pyramid_flat(corr_volume_flat(f1, f2), num_levels=4)
+    padded, meta = build_pyramid_pmajor(f1, f2, num_levels=4)
+
+    P = h * w
+    gx, gy = jnp.meshgrid(jnp.arange(w, dtype=jnp.float32),
+                          jnp.arange(h, dtype=jnp.float32), indexing="xy")
+    grid = jnp.stack([gx, gy], -1).reshape(1, P, 2)
+    # wide coords incl. borders and far off-image
+    coords = grid + jax.random.uniform(key, (E, P, 2), minval=-6.0, maxval=6.0)
+    coords = coords.at[0, 0].set(jnp.array([-80.0, 55.0]))
+    coords = coords.at[0, 1].set(jnp.array([23.9, 15.9]))
+    coords = coords.at[1, 2].set(jnp.array([999.0, -999.0]))
+
+    full = corr_lookup_pyramid_flat(pyr, coords)
+    pm = corr_lookup_pmajor(padded, meta, coords)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(pm),
+                               atol=3e-6, rtol=1e-5)
