@@ -22,6 +22,17 @@ import numpy as np
 def main():
     import jax
 
+    # persistent compile cache: repeated bench runs (and driver reruns) skip
+    # the 20-40s XLA compiles
+    try:
+        cache = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               os.path.join(os.path.dirname(__file__), ".jax_cache"))
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
     # the container's sitecustomize force-selects the axon TPU platform;
     # honor an explicit JAX_PLATFORMS request (used for CPU smoke tests)
     want = os.environ.get("JAX_PLATFORMS")
@@ -120,11 +131,87 @@ def main():
 
     value = iters * ROUNDS / dt  # update iterations per second
     baseline = 60.0  # est. CUDA reference frontend update-iters/s (see module doc)
+
+    extra = {}
+
+    # --- keyframes/s: the whole per-keyframe device program (volume build +
+    # window extraction + 6 fused rounds), i.e. frontend throughput with the
+    # per-keyframe setup cost included, not just the round-loop rate.
+    kf_iters = 2 if small else 10
+    t0 = time.perf_counter()
+    for _ in range(kf_iters):
+        p2, d2, dmp2, n2, t2, _ = one_keyframe(poses, disps, damping, nets_e, target0)
+    jax.block_until_ready(p2)
+    extra["frontend_keyframes_per_s"] = round(kf_iters / (time.perf_counter() - t0), 3)
+
+    # --- backend global BA at 500 keyframes: one altcorr-chunked motion
+    # refresh + dense BA sweep over a temporal+proximity graph (the
+    # update_lowmem inner step, reference factor_graph.py:253-300), plus
+    # device memory high-water if the runtime exposes it.
+    if not small:
+        try:
+            from droid_slam_reserch_tpu.engine.factor_graph import _update_op_step_alt
+            from droid_slam_reserch_tpu.ba.solver import ba_iterations
+            T = 500
+            fmapsT = (0.1 * jax.random.normal(key, (T, 1, h8, w8, 128))).astype(fdt)
+            posesT = se3_exp(0.01 * jax.random.normal(key, (T, 6)))
+            dispsT = jnp.ones((T, h8, w8))
+            intrT = jnp.broadcast_to(intr, (T, 4))
+            iiT = np.concatenate([np.arange(T - 1), np.arange(T - 2)]).astype(np.int32)
+            jjT = np.concatenate([np.arange(1, T), np.arange(2, T)]).astype(np.int32)
+            EB = 64  # edge chunk
+            nE = len(iiT)
+            netsT = jnp.zeros((EB, h8, w8, 128), fdt)
+            inpsT = jnp.zeros((EB, h8, w8, 128), fdt)
+            targT = jnp.zeros((EB, h8, w8, 2))
+
+            def chunk(i0):
+                sl = slice(i0, i0 + EB)
+                return _update_op_step_alt(
+                    applies["update"], params, posesT, dispsT, intrT, fmapsT,
+                    netsT, inpsT, targT,
+                    jnp.asarray(iiT[sl]), jnp.asarray(jjT[sl]),
+                    jnp.zeros(EB, jnp.int32), jnp.asarray(iiT[sl]), T,
+                    dtype=fdt,
+                )
+
+            outs = chunk(0)
+            jax.block_until_ready(outs[0])
+            t0 = time.perf_counter()
+            targets = np.zeros((nE, h8, w8, 2), np.float32)
+            weights = np.zeros((nE, h8, w8, 2), np.float32)
+            for i0 in range(0, nE - EB + 1, EB):
+                o = chunk(i0)
+                targets[i0:i0 + EB] = np.asarray(o[1])
+                weights[i0:i0 + EB] = np.asarray(o[2])
+            from droid_slam_reserch_tpu.ba.solver import schur_pairs as _sp
+            beT, bmT = _sp(iiT, T)
+            pT, dT = ba_iterations(
+                posesT, dispsT, intr, jnp.zeros((T, h8, w8)),
+                jnp.asarray(targets), jnp.asarray(weights),
+                1e-4 * jnp.ones((T, h8, w8)),
+                jnp.asarray(iiT), jnp.asarray(jjT),
+                jnp.arange(T) >= 1, jnp.asarray(beT), jnp.asarray(bmT),
+                iterations=2, lm=1e-5, ep=1e-2, min_depth=0.25,
+            )
+            jax.block_until_ready(pT)
+            extra["backend_ba_500kf_s"] = round(time.perf_counter() - t0, 3)
+            try:
+                stats = jax.local_devices()[0].memory_stats() or {}
+                peak = stats.get("peak_bytes_in_use")
+                if peak:
+                    extra["peak_hbm_gib"] = round(peak / 2**30, 3)
+            except Exception:
+                pass
+        except Exception as e:  # never let the extra metrics kill the bench
+            extra["backend_ba_error"] = type(e).__name__
+
     print(json.dumps({
         "metric": "frontend_update_iters_per_s",
         "value": round(value, 3),
         "unit": "iters/s",
         "vs_baseline": round(value / baseline, 3),
+        "extra": extra,
     }))
 
 

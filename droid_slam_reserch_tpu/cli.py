@@ -167,8 +167,15 @@ def cmd_tum(args):
     traj = droid.terminate_eva(iter(list(tum_stream(args.datapath, stride=2))))
     print(f"tracked {len(traj)} frames")
     if args.gt:
+        from .data.tum import tum_timestamps
+
         gt = np.loadtxt(args.gt)
-        ts = np.arange(len(traj), dtype=np.float64)
+        # associate by the frames' epoch timestamps (filenames), as the
+        # reference's evo protocol does — index association drifts whenever
+        # frames were dropped from either stream
+        ts = tum_timestamps(args.datapath, stride=2)[: len(traj)]
+        if len(ts) < len(traj):
+            ts = np.concatenate([ts, np.arange(len(ts), len(traj), dtype=np.float64)])
         est = np.concatenate([ts[:, None], traj[:, :3], traj[:, 3:]], axis=1)
         res = evaluate_ate(est, gt, align=True, correct_scale=True)
         print(json.dumps({"ate": res}))
@@ -245,13 +252,24 @@ def cmd_multisession(args):
 
 
 def cmd_train(args):
+    """Training loop with the reference's full behavior (train.py:43-186):
+    50/50 covisibility-vs-temporal graph sampling per item (:88-94), random
+    pose restarts with gradient accumulation (:102-118), background-thread
+    data prefetch (the TPU analog of the reference's worker DataLoader
+    :61-66), and multi-host rendezvous (:28-36)."""
+    import queue
+    import threading
+
     import jax
+    import jax.numpy as jnp
 
     from .data import dataset_factory
-    from .geom import neighbourhood_graph
-    from .parallel import make_mesh, make_parallel_train_step
+    from .lie import se3_inv
+    from .parallel import init_distributed
     from .train import Logger, TrainConfig, init_train_state
+    from .train.step import make_train_step_dynamic, sample_frame_graph
 
+    init_distributed()
     cfg = TrainConfig(
         name=args.name, lr=args.lr, steps=args.steps, batch=args.batch,
         n_frames=args.n_frames, iters=args.iters,
@@ -259,39 +277,81 @@ def cmd_train(args):
     os.makedirs("checkpoints", exist_ok=True)
     db = dataset_factory(["tartan"], datapath=args.datapath,
                          n_frames=cfg.n_frames, fmin=cfg.fmin, fmax=cfg.fmax)
-    n_dev = jax.device_count()
-    mesh = make_mesh((n_dev, 1), ("dp", "fsdp"))
-    ii, jj = neighbourhood_graph(cfg.n_frames, 2)
-    step, prepare = make_parallel_train_step(cfg, ii, jj, mesh)
+    grad_step, apply_step = make_train_step_dynamic(cfg)
 
     params, opt_state = init_train_state(cfg, image_size=cfg.image_size)
     if args.ckpt:
-        import jax.numpy as _jnp
-
         data = np.load(args.ckpt, allow_pickle=True)
-        params = jax.tree_util.tree_map(_jnp.asarray, data["params"].item())
+        params = jax.tree_util.tree_map(jnp.asarray, data["params"].item())
     logger = Logger(cfg.name)
-    rng = np.random.default_rng(12345)
+    rng = np.random.default_rng(12345 + jax.process_index())
+    restart_prob = getattr(args, "restart_prob", 0.2)
+    e_pad = 4 * cfg.n_frames  # fixed edge pad (covers r=2 temporal + extras)
 
-    import jax.numpy as jnp
+    # background prefetch: sample items + per-item graph off the step loop
+    q = queue.Queue(maxsize=4)
+    stop = threading.Event()
+
+    def producer():
+        prng = np.random.default_rng(54321 + jax.process_index())
+        while not stop.is_set():
+            idx = prng.integers(0, len(db), size=cfg.batch)
+            items = [db[int(i)] for i in idx]
+            images = np.stack([x[0] for x in items])
+            poses = np.stack([x[1] for x in items])
+            disps = np.stack([x[2] for x in items])
+            intr = np.stack([x[3] for x in items])
+            ii, jj, emask = sample_frame_graph(
+                prng, poses, disps, intr, cfg.n_frames, e_pad)
+            try:
+                q.put((images, poses, disps, intr, ii, jj, emask), timeout=30)
+            except queue.Full:
+                continue
+
+    th = threading.Thread(target=producer, daemon=True)
+    th.start()
 
     total = 0
-    while total < cfg.steps:
-        idx = rng.integers(0, len(db), size=cfg.batch)
-        items = [db[int(i)] for i in idx]
-        batch = {
-            "images": jnp.asarray(np.stack([x[0] for x in items])),
-            "poses": jnp.asarray(np.stack([x[1] for x in items])),
-            "disps": jnp.asarray(np.stack([x[2] for x in items])),
-            "intrinsics": jnp.asarray(np.stack([x[3] for x in items])),
-        }
-        params, opt_state, batch = prepare(params, opt_state, batch)
-        params, opt_state, metrics = step(params, opt_state, batch)
-        logger.push({k: float(v) for k, v in metrics.items()})
-        total += 1
-        if total % 10000 == 0:
-            np.savez(f"checkpoints/{cfg.name}_{total:06d}.npz",
-                     params=jax.tree_util.tree_map(np.asarray, params))
+    try:
+        while total < cfg.steps:
+            images, poses, disps, intr, ii, jj, emask = q.get()
+            Ps = se3_inv(jnp.asarray(poses))
+            Gs0 = jnp.concatenate(
+                [Ps[:, :1], jnp.repeat(Ps[:, 1:2], Ps.shape[1] - 1, axis=1)],
+                axis=1,
+            )
+            disp0 = jnp.ones_like(jnp.asarray(disps)[:, :, 3::8, 3::8])
+            batch = {
+                "images": jnp.asarray(images),
+                "poses": jnp.asarray(poses),
+                "disps": jnp.asarray(disps),
+                "intrinsics": jnp.asarray(intr),
+                "ii": jnp.asarray(ii), "jj": jnp.asarray(jj),
+                "emask": jnp.asarray(emask),
+                "Gs0": Gs0, "disp0": disp0,
+            }
+
+            # random-restart loop (reference train.py:102-118): accumulate
+            # grads across passes, re-seed pose/disp init from the last
+            # estimate, step the optimizer once
+            grads_acc = None
+            metrics = None
+            r = 0.0
+            while r < restart_prob:
+                r = rng.random()
+                grads, metrics, (Gs_last, disp_last) = grad_step(params, batch)
+                grads_acc = grads if grads_acc is None else jax.tree_util.tree_map(
+                    jnp.add, grads_acc, grads)
+                batch = dict(batch, Gs0=Gs_last, disp0=disp_last)
+            params, opt_state = apply_step(params, opt_state, grads_acc)
+
+            logger.push({k: float(v) for k, v in metrics.items()})
+            total += 1
+            if total % 10000 == 0 and jax.process_index() == 0:
+                np.savez(f"checkpoints/{cfg.name}_{total:06d}.npz",
+                         params=jax.tree_util.tree_map(np.asarray, params))
+    finally:
+        stop.set()
 
 
 def main(argv=None):
@@ -354,6 +414,8 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--n_frames", type=int, default=7)
     p.add_argument("--iters", type=int, default=15)
+    p.add_argument("--restart_prob", type=float, default=0.2,
+                   help="random pose-restart probability (reference train.py:102)")
     p.set_defaults(fn=cmd_train)
 
     args = parser.parse_args(argv)

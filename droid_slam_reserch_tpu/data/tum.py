@@ -11,6 +11,21 @@ TUM_FR1_INTRINSICS = (517.3, 516.5, 318.6, 255.3)
 TUM_FR1_DIST = np.array([0.2624, -0.9531, -0.0054, 0.0026, 1.1633])
 
 
+def tum_timestamps(datapath, stride=2):
+    """Epoch timestamps of the streamed frames, parsed from the TUM rgb
+    filenames (<stamp>.png) — used to associate against groundtruth.txt by
+    time rather than by index."""
+    images_list = sorted(glob.glob(os.path.join(datapath, "rgb", "*.png")))[::stride]
+    out = []
+    for f in images_list:
+        stem = os.path.splitext(os.path.basename(f))[0]
+        try:
+            out.append(float(stem))
+        except ValueError:
+            out.append(float(len(out)))
+    return np.asarray(out, np.float64)
+
+
 def tum_stream(datapath, stride=2, use_depth=False):
     """Undistorted, resized fr1 stream; crops the distortion boundary."""
     import cv2

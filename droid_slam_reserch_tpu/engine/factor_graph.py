@@ -22,15 +22,24 @@ import numpy as np
 from ..ba.solver import ba_iterations, schur_pairs
 from ..geom import projective_transform, coords_grid
 from ..ops.corr import (
+    altcorr_pyramid,
     build_pyramid_flat,
     corr_lookup_pyramid_flat,
     corr_lookup_windows,
     corr_volume_flat,
     extract_windows,
     pad_pyramid_flat,
+    pool2x_fmap,
     window_bases,
     window_drift_ok,
 )
+
+
+import os as _os
+
+# windowed correlation lookup in the fused frontend loop (exact while
+# coords stay in-window; lax.cond fallback to the full lookup on drift).
+_USE_CORR_WINDOWS = _os.environ.get("DROID_CORR_WINDOWS", "1") != "0"
 
 
 def _round_up(x, m):
@@ -81,6 +90,62 @@ def _update_op_step(
     corr = corr_lookup_pyramid_flat(
         pyr, coords1.reshape(E, h8 * w8, 2)
     ).reshape(E, h8, w8, -1)
+
+    net, delta, weight, eta, upmask = apply_fn(
+        params,
+        nets_e[None],
+        inps_e[None],
+        corr[None].astype(dtype),
+        motn[None].astype(dtype),
+        kk,
+        num_segments,
+    )
+
+    target_new = coords1 + delta[0].astype(jnp.float32)
+    weight_new = weight[0].astype(jnp.float32)
+    return net[0], target_new, weight_new, eta[0].astype(jnp.float32), upmask[0], coords1
+
+
+@partial(jax.jit, static_argnames=("apply_fn", "num_segments", "dtype"))
+def _update_op_step_alt(
+    apply_fn,
+    params,
+    poses,
+    disps,
+    intrinsics,
+    fmaps,
+    nets_e,
+    inps_e,
+    target,
+    ii,
+    jj,
+    cams,
+    kk,
+    num_segments,
+    dtype=jnp.float32,
+):
+    """_update_op_step with the fused altcorr path: correlation is computed
+    on the fly against a pooled FEATURE pyramid instead of materializing the
+    O(E*(HW)^2) all-pairs volume pyramid — the TPU analog of the reference's
+    backend AltCorrBlock (factor_graph.py:261, altcorr_kernel.cu:27-149),
+    which exists exactly so global BA over hundreds of keyframes does not
+    exhaust device memory."""
+    h8, w8 = disps.shape[-2:]
+    coords0 = coords_grid(h8, w8)
+
+    coords1, _ = projective_transform(
+        poses[None], disps[None], intrinsics[None], ii, jj
+    )
+    coords1 = coords1[0]
+    motn = jnp.concatenate([coords1 - coords0, target - coords1], axis=-1)
+    motn = jnp.clip(motn, -64.0, 64.0)
+
+    f1 = fmaps[ii, 0].astype(dtype)
+    f2 = fmaps[jj, cams].astype(dtype)
+    f2_pyr = [f2]
+    for _ in range(3):
+        f2_pyr.append(pool2x_fmap(f2_pyr[-1]))
+    corr = altcorr_pyramid(f1, f2_pyr, coords1)
 
     net, delta, weight, eta, upmask = apply_fn(
         params,
@@ -162,14 +227,15 @@ def _fused_rounds(
     E = fmap1_e.shape[0]
     vol = corr_volume_flat(fmap1_e, fmap2_e, dtype=dtype)
     pyr = build_pyramid_flat(vol, num_levels=4)
-    padded, wmeta = pad_pyramid_flat(pyr)
+    if _USE_CORR_WINDOWS:
+        padded, wmeta = pad_pyramid_flat(pyr)
 
-    coords_init, _ = projective_transform(
-        poses_win[None], disps_win[None], intr_win[None], ii_a, jj_a
-    )
-    cflat0 = coords_init[0].reshape(E, h8 * w8, 2)
-    wbases = window_bases(cflat0, wmeta)
-    wins = extract_windows(padded, wmeta, wbases)
+        coords_init, _ = projective_transform(
+            poses_win[None], disps_win[None], intr_win[None], ii_a, jj_a
+        )
+        cflat0 = coords_init[0].reshape(E, h8 * w8, 2)
+        wbases = window_bases(cflat0, wmeta)
+        wins = extract_windows(padded, wmeta, wbases)
 
     amask = active_mask[:, None, None, None].astype(jnp.float32)
 
@@ -185,12 +251,16 @@ def _fused_rounds(
             -64.0, 64.0,
         )
         cflat = coords1.reshape(E, h8 * w8, 2)
-        corr = jax.lax.cond(
-            window_drift_ok(cflat, wmeta, wbases),
-            lambda c: corr_lookup_windows(wins, wmeta, wbases, c),
-            lambda c: corr_lookup_pyramid_flat(pyr, c),
-            cflat,
-        ).reshape(E, h8, w8, -1)
+        if _USE_CORR_WINDOWS:
+            corr = jax.lax.cond(
+                window_drift_ok(cflat, wmeta, wbases),
+                lambda c: corr_lookup_windows(wins, wmeta, wbases, c),
+                lambda c: corr_lookup_pyramid_flat(pyr, c),
+                cflat,
+            )
+        else:
+            corr = corr_lookup_pyramid_flat(pyr, cflat)
+        corr = corr.reshape(E, h8, w8, -1)
 
         nets, delta, weight, eta, _ = apply_fn(
             params, nets[None], inps_e[None], corr[None].astype(dtype),
@@ -627,7 +697,10 @@ class FactorGraph:
             [self.target[sel_d], jnp.zeros((pad, h8, w8, 2), jnp.float32)], 0
         )
 
-        net, target, weight, eta, upmask, _ = _update_op_step(
+        step_fn = (
+            _update_op_step_alt if self.cfg.use_altcorr_backend else _update_op_step
+        )
+        net, target, weight, eta, upmask, _ = step_fn(
             self.update_apply, self.params,
             video.poses, video.disps, video.intrinsics, video.fmaps,
             net_e, inp_e, target_e,

@@ -225,6 +225,16 @@ class Video:
         else:
             eta = eta_win
 
+        if cfg.ba_shards > 1 and not motion_only and MW % cfg.ba_shards == 0:
+            poses_w, disps_w = self._ba_sharded(
+                sl, MW, ii_l[:n], jj_l[:n], target_p[:n], weight_p[:n], eta,
+                free, iterations, lm, ep,
+            )
+            disps_w = jnp.maximum(disps_w, 0.001)
+            self.poses = _set_range(self.poses, m0, poses_w)
+            self.disps = _set_range(self.disps, m0, disps_w)
+            return
+
         poses_w, disps_w = ba_solve(
             self.poses[sl], self.disps[sl], self.intrinsics[0],
             self.disps_sens[sl], target_p, weight_p, eta,
@@ -236,6 +246,35 @@ class Video:
         disps_w = jnp.maximum(disps_w, 0.001)  # reference depth_video.py:204
         self.poses = _set_range(self.poses, m0, poses_w)
         self.disps = _set_range(self.disps, m0, disps_w)
+
+    def _ba_sharded(self, sl, MW, ii_l, jj_l, target, weight, eta,
+                    free, iterations, lm, ep):
+        """Keyframe-sharded distributed BA over a `kf` device mesh
+        (SURVEY.md §2.7 map parallelism; parallel/dist_ba.py).  Depth
+        buckets and their edges live shard-local; only the pose system is
+        psum-reduced.  Used by the backend for large windows when
+        cfg.ba_shards > 1."""
+        import jax
+
+        from ..parallel import dist_ba_solve, make_mesh, partition_edges
+
+        cfg = self.cfg
+        if getattr(self, "_kf_mesh", None) is None or self._kf_mesh.size != cfg.ba_shards:
+            self._kf_mesh = make_mesh(
+                (cfg.ba_shards,), ("kf",), devices=jax.devices()[: cfg.ba_shards]
+            )
+        ii_s, jj_s, tgt_s, wgt_s, be_s, bm_s = partition_edges(
+            ii_l, jj_l, np.asarray(target), np.asarray(weight), MW,
+            cfg.ba_shards, edge_bucket=cfg.edge_bucket,
+        )
+        return dist_ba_solve(
+            self._kf_mesh, self.poses[sl], self.disps[sl], self.intrinsics[0],
+            self.disps_sens[sl], jnp.asarray(tgt_s), jnp.asarray(wgt_s), eta,
+            jnp.asarray(ii_s), jnp.asarray(jj_s), jnp.asarray(free),
+            jnp.asarray(be_s), jnp.asarray(bm_s),
+            iterations=iterations, lm=lm, ep=ep, alpha=cfg.rgbd_alpha,
+            min_depth=cfg.min_depth,
+        )
 
     # --------------------------------------------------------------- export
 

@@ -71,11 +71,18 @@ def evaluate_ate(est_traj, gt_traj, align=True, correct_scale=False, max_dt=0.02
     else:
         ts_g, xyz_g, _ = tum_trajectory_to_matrix(gt_traj)
 
-    # timestamp association
+    # timestamp association — stamps that look like nanoseconds (EuRoC CSVs)
+    # are normalized to seconds so max_dt means seconds for every dataset
+    ts_e = np.asarray(ts_e, np.float64)
+    ts_g = np.asarray(ts_g, np.float64)
+    if ts_e.size and np.median(np.abs(ts_e)) > 1e14:
+        ts_e = ts_e * 1e-9
+    if ts_g.size and np.median(np.abs(ts_g)) > 1e14:
+        ts_g = ts_g * 1e-9
     matches = []
     for i, t in enumerate(ts_e):
         j = int(np.argmin(np.abs(ts_g - t)))
-        if abs(ts_g[j] - t) < max_dt * max(1.0, abs(t) * 1e-9 if t > 1e14 else 1.0):
+        if abs(ts_g[j] - t) < max_dt:
             matches.append((i, j))
     if len(matches) < 3:
         # fall back to index association when stamps are incompatible

@@ -49,10 +49,21 @@ def pose_metrics(dG, dP):
     return r_err, t_err, s_err
 
 
-def geodesic_loss(Ps, Gs_list, ii, jj, gamma=0.9, do_scale=True, group="se3"):
+def _masked_mean(x, mask):
+    """Mean of x [B, E] counting only mask-valid [E] edges."""
+    if mask is None:
+        return jnp.mean(x)
+    m = mask.astype(x.dtype)
+    return jnp.sum(x * m[None, :]) / jnp.maximum(x.shape[0] * jnp.sum(m), 1.0)
+
+
+def geodesic_loss(Ps, Gs_list, ii, jj, gamma=0.9, do_scale=True, group="se3",
+                  edge_mask=None):
     """gamma-weighted relative pose loss (reference :30-74).
 
     Ps: GT poses [B,P,7|8]; Gs_list: per-iteration estimates.
+    edge_mask: optional [E] validity for padded sampled graphs — masked
+    edges contribute neither loss nor metrics.
     """
     dP = _rel(Ps, ii, jj, group)
     n = len(Gs_list)
@@ -68,35 +79,39 @@ def geodesic_loss(Ps, Gs_list, ii, jj, gamma=0.9, do_scale=True, group="se3"):
             d = se3_log(se3_mul(dG, se3_inv(dP)))
             tau, phi = d[..., :3], d[..., 3:6]
             loss = loss + w * (
-                jnp.mean(jnp.linalg.norm(tau, axis=-1))
-                + jnp.mean(jnp.linalg.norm(phi, axis=-1))
+                _masked_mean(jnp.linalg.norm(tau, axis=-1), edge_mask)
+                + _masked_mean(jnp.linalg.norm(phi, axis=-1), edge_mask)
             )
         else:
             d = sim3_log(sim3_mul(dG, sim3_inv(dP)))
             tau, phi, sig = d[..., :3], d[..., 3:6], d[..., 6:7]
             loss = loss + w * (
-                jnp.mean(jnp.linalg.norm(tau, axis=-1))
-                + jnp.mean(jnp.linalg.norm(phi, axis=-1))
-                + 0.05 * jnp.mean(jnp.linalg.norm(sig, axis=-1))
+                _masked_mean(jnp.linalg.norm(tau, axis=-1), edge_mask)
+                + _masked_mean(jnp.linalg.norm(phi, axis=-1), edge_mask)
+                + 0.05 * _masked_mean(jnp.linalg.norm(sig, axis=-1), edge_mask)
             )
         r_err, t_err, s_err = pose_metrics(dG, dP)
 
     metrics = {
-        "rot_error": jnp.mean(r_err),
-        "tr_error": jnp.mean(t_err),
-        "bad_rot": jnp.mean((r_err < 0.1).astype(jnp.float32)),
-        "bad_tr": jnp.mean((t_err < 0.01).astype(jnp.float32)),
+        "rot_error": _masked_mean(r_err, edge_mask),
+        "tr_error": _masked_mean(t_err, edge_mask),
+        "bad_rot": _masked_mean((r_err < 0.1).astype(jnp.float32), edge_mask),
+        "bad_tr": _masked_mean((t_err < 0.01).astype(jnp.float32), edge_mask),
     }
     return loss, metrics
 
 
-def residual_loss(residuals, gamma=0.9):
-    """gamma-weighted mean |residual| (reference :77-86)."""
+def residual_loss(residuals, gamma=0.9, edge_mask=None):
+    """gamma-weighted mean |residual| (reference :77-86).
+
+    edge_mask: optional [E] validity for padded sampled graphs; residuals
+    are [B, E, h, w, 2]."""
     n = len(residuals)
     loss = 0.0
     for i, r in enumerate(residuals):
         w = gamma ** (n - i - 1)
-        loss = loss + w * jnp.mean(jnp.abs(r))
+        r_edge = jnp.mean(jnp.abs(r), axis=tuple(range(2, r.ndim)))
+        loss = loss + w * _masked_mean(r_edge, edge_mask)
     return loss, {"residual": loss}
 
 

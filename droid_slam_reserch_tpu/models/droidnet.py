@@ -38,16 +38,30 @@ class DroidNet(nn.Module):
         net, inp = jnp.split(ctx, 2, axis=-1)
         return fmaps, jnp.tanh(net), nn.relu(inp)
 
-    def __call__(self, Gs, images, disps, intrinsics, ii, jj, num_steps=12, fixedp=2):
+    def __call__(self, Gs, images, disps, intrinsics, ii, jj, num_steps=12, fixedp=2,
+                 edge_mask=None):
         """Unrolled training forward (reference droid_net.py:174-224).
 
         Gs: [B, P, 7]; images: [B, P, H, W, 3]; disps: [B, P, H/8, W/8];
         intrinsics: [B, P, 4] (at 1/8 res); ii/jj: edge lists.
+        edge_mask: optional [E] float validity — lets per-step SAMPLED frame
+        graphs (reference train.py:88-94) run under one jit signature by
+        padding to a fixed edge count: masked edges get zero BA weight, are
+        excluded from the per-frame GraphAgg scatter-mean (padded edges
+        aggregate into a discarded extra segment), and produce zero
+        residuals.
         Returns (Gs_list, disp_up_list, residual_list) per iteration.
         """
         B, P = images.shape[:2]
         fmaps, net, inp = self.extract_features(images)
         net, inp = net[:, ii], inp[:, ii]
+
+        if edge_mask is not None:
+            kk_agg = jnp.where(edge_mask.astype(bool), ii, P)
+            num_seg = P + 1
+            w_mask = edge_mask[None, :, None, None, None]
+        else:
+            kk_agg, num_seg, w_mask = ii, P, None
 
         # per-edge correlation pyramid
         f1 = fmaps[:, ii].reshape((-1,) + fmaps.shape[2:])
@@ -77,11 +91,15 @@ class DroidNet(nn.Module):
 
             net, delta, weight, eta, upmask = self.update(
                 net, inp, corr.astype(net.dtype), motion.astype(net.dtype),
-                kk=ii, num_segments=P,
+                kk=kk_agg, num_segments=num_seg,
             )
+            eta = eta[:, :P]
+            upmask = upmask[:, :P]
 
             target = coords1 + delta.astype(jnp.float32)
             weight_f = weight.astype(jnp.float32)
+            if w_mask is not None:
+                weight_f = weight_f * w_mask
             eta_f = eta.astype(jnp.float32)
 
             for _ in range(2):
@@ -92,6 +110,8 @@ class DroidNet(nn.Module):
             coords1, valid_mask = projective_transform(Gs, disps, intrinsics, ii, jj)
             residual = target - coords1
 
+            if w_mask is not None:
+                residual = residual * w_mask
             Gs_list.append(Gs)
             disp_list.append(upsample_disp(disps, upmask.astype(jnp.float32)))
             residual_list.append(valid_mask * residual)

@@ -12,6 +12,7 @@ The reference's parallelism inventory (SURVEY.md §2.7) mapped TPU-native:
 """
 from .mesh import make_mesh
 from .dist_ba import dist_ba_solve, partition_edges
+from .distributed import init_distributed, is_distributed
 from .train_parallel import make_parallel_train_step, shard_params_fsdp
 
 __all__ = [k for k in dir() if not k.startswith("_")]

@@ -16,9 +16,16 @@ from ..models import DroidNet
 
 
 def make_schedule(cfg):
-    """OneCycle analog (reference train.py:69-70)."""
+    """OneCycle analog (reference train.py:69-70).
+
+    transition_steps is floored so the warmup interval spans >= 1 step —
+    optax's onecycle divides by the interval length and returns NaN when
+    steps * pct_start < 1 (tiny smoke-test runs)."""
+    import math
+
+    steps = max(cfg.steps, int(math.ceil(1.0 / max(cfg.pct_start, 1e-6))) + 1)
     return optax.cosine_onecycle_schedule(
-        transition_steps=cfg.steps, peak_value=cfg.lr, pct_start=cfg.pct_start
+        transition_steps=steps, peak_value=cfg.lr, pct_start=cfg.pct_start
     )
 
 
@@ -97,3 +104,109 @@ def make_train_step(cfg, ii, jj, num_steps=None):
         return params, opt_state, metrics
 
     return step
+
+
+def make_train_step_dynamic(cfg, num_steps=None):
+    """Training step for per-item SAMPLED frame graphs and pose-restart
+    chaining (reference train.py:88-118).
+
+    The graph (ii/jj/edge validity mask, padded to a fixed length so the jit
+    signature is stable) and the pose/disp initialization travel IN the
+    batch:
+
+        batch = {images, poses, disps, intrinsics,
+                 ii [E], jj [E], emask [E] float,
+                 Gs0 [B,P,7], disp0 [B,P,H/8,W/8]}
+
+    Returns (grad_step, apply_step):
+      grad_step(params, batch) -> (grads, metrics, (Gs_last, disp_last))
+        one forward/backward pass; the carry re-seeds Gs0/disp0 for the
+        reference's random-restart loop (train.py:102-118), which
+        ACCUMULATES gradients across passes and steps the optimizer once.
+      apply_step(params, opt_state, grads) -> (params, opt_state)
+    """
+    net = DroidNet()
+    opt = make_optimizer(cfg)
+    num_steps = num_steps or cfg.iters
+
+    def loss_fn(params, batch):
+        images = batch["images"]
+        Ps = se3_inv(batch["poses"])
+        disps_gt = batch["disps"]
+        intrinsics = batch["intrinsics"]
+        ii, jj, emask = batch["ii"], batch["jj"], batch["emask"]
+
+        poses_est, disps_est, residuals = net.apply(
+            {"params": params}, batch["Gs0"], images, batch["disp0"],
+            intrinsics / 8.0, ii, jj, num_steps, 2, edge_mask=emask,
+        )
+
+        geo, geo_m = geodesic_loss(Ps, poses_est, ii, jj, do_scale=False,
+                                   edge_mask=emask)
+        res, res_m = residual_loss(residuals, edge_mask=emask)
+        flo, flo_m = flow_loss(Ps, disps_gt, poses_est, disps_est, intrinsics)
+        loss = cfg.w1 * geo + cfg.w2 * res + cfg.w3 * flo
+
+        metrics = {"loss": loss, "geo": geo, "res": res, "flow": flo}
+        metrics.update(geo_m)
+        metrics.update(res_m)
+        metrics.update(flo_m)
+        carry = (
+            jax.lax.stop_gradient(poses_est[-1]),
+            jax.lax.stop_gradient(disps_est[-1][:, :, 3::8, 3::8]),
+        )
+        return loss, (metrics, carry)
+
+    @jax.jit
+    def grad_step(params, batch):
+        (_, (metrics, carry)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch)
+        return grads, metrics, carry
+
+    @jax.jit
+    def apply_step(params, opt_state, grads):
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state
+
+    return grad_step, apply_step
+
+
+def sample_frame_graph(rng, poses, disps, intrinsics, n_frames, e_pad,
+                       num_edges=24, r=2):
+    """Per-item graph sampling (reference train.py:88-94): 50% covisibility
+    graph from the GT flow-distance matrix, 50% radius-2 temporal graph.
+    Host-side; returns (ii, jj, emask) padded to e_pad.
+
+    poses/disps/intrinsics: numpy batch arrays (item 0 is used, as the
+    reference does — graph_utils.py:38-42); disps at full res.
+    """
+    import numpy as np
+
+    from ..data.rgbd_utils import compute_distance_matrix_flow
+    from ..geom.graph_utils import build_frame_graph, graph_to_edge_list
+
+    if rng.random() < 0.5:
+        d = compute_distance_matrix_flow(
+            np.asarray(poses[0]),
+            np.asarray(disps[0][:, 3::8, 3::8]),
+            np.asarray(intrinsics[0]) / 8.0,
+        )
+        graph = build_frame_graph(d, num=num_edges, r=r)
+        ii, jj, _ = graph_to_edge_list(graph)
+    else:
+        ii, jj = [], []
+        for i in range(n_frames):
+            for j in range(n_frames):
+                if i != j and abs(i - j) <= r:
+                    ii.append(i)
+                    jj.append(j)
+        ii, jj = np.asarray(ii, np.int32), np.asarray(jj, np.int32)
+    n = min(len(ii), e_pad)
+    ii_p = np.zeros(e_pad, np.int32)
+    jj_p = np.zeros(e_pad, np.int32)
+    em = np.zeros(e_pad, np.float32)
+    ii_p[:n], jj_p[:n], em[:n] = ii[:n], jj[:n], 1.0
+    # padded self-edge placeholders keep reprojection well-defined
+    jj_p[n:] = 1
+    return ii_p, jj_p, em

@@ -61,6 +61,14 @@ class DroidConfig:
 
     # TPU execution
     use_pallas_ba: bool = False         # fused Pallas BA system builder
+    # global-BA motion features via fused altcorr over pooled feature
+    # pyramids instead of materialized O(E*(HW)^2) volumes — the backend
+    # memory fix the reference ships as AltCorrBlock (factor_graph.py:261)
+    use_altcorr_backend: bool = True
+    # shard full-window dense BA over this many mesh devices (keyframe/depth
+    # buckets sharded, pose system psum-reduced — parallel/dist_ba.py).
+    # 0/1 = single-device solver.  Requires window_bucket % ba_shards == 0.
+    ba_shards: int = 0
     edge_bucket: int = 16                  # pad edge counts to multiples
     window_bucket: int = 8                 # pad BA window sizes to multiples
     compute_dtype: str = "float32"         # "bfloat16" on TPU for the network

@@ -231,3 +231,47 @@ def test_pmajor_lookup_matches_flat():
     pm = corr_lookup_pmajor(padded, meta, coords)
     np.testing.assert_allclose(np.asarray(full), np.asarray(pm),
                                atol=3e-6, rtol=1e-5)
+
+
+class TestAltcorrBackendStep:
+    def test_update_op_step_alt_matches_volume_path(self):
+        """The backend's fused-altcorr update step matches the volume-based
+        step closely (pooled-feature vs pooled-volume pyramids agree exactly
+        at level 0 and only differ by the reference's own AltCorrBlock
+        approximation at coarser levels)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from droid_slam_reserch_tpu.engine.factor_graph import (
+            _update_op_step, _update_op_step_alt)
+        from droid_slam_reserch_tpu.engine.net_ops import make_applies
+        from droid_slam_reserch_tpu.engine.droid import init_params
+        from droid_slam_reserch_tpu.utils import DroidConfig
+        from droid_slam_reserch_tpu.lie import se3_exp
+
+        h8, w8, T, E = 8, 16, 4, 6
+        cfg = DroidConfig(image_size=(h8 * 8, w8 * 8), buffer=T)
+        params = init_params(cfg.replace(image_size=(64, 64)), seed=0)
+        applies = make_applies("float32")
+        key = jax.random.PRNGKey(1)
+        poses = se3_exp(0.01 * jax.random.normal(key, (T, 6)))
+        disps = jnp.ones((T, h8, w8))
+        intr = jnp.broadcast_to(
+            jnp.array([w8 * 4.0, w8 * 4.0, w8 / 2.0, h8 / 2.0]), (T, 4))
+        fmaps = 0.1 * jax.random.normal(key, (T, 1, h8, w8, 128))
+        ii = jnp.array([0, 0, 1, 1, 2, 2], jnp.int32)
+        jj = jnp.array([1, 2, 2, 3, 3, 0], jnp.int32)
+        cams = jnp.zeros(E, jnp.int32)
+        nets_e = jnp.zeros((E, h8, w8, 128))
+        inps_e = 0.1 * jax.random.normal(key, (E, h8, w8, 128))
+        target = jnp.zeros((E, h8, w8, 2))
+        argsv = (applies["update"], params, poses, disps, intr, fmaps,
+                 nets_e, inps_e, target, ii, jj, cams, ii, T)
+        ref = _update_op_step(*argsv)
+        alt = _update_op_step_alt(*argsv)
+        # coords identical; net/target/weight close (coarse-level approx)
+        np.testing.assert_allclose(np.asarray(alt[5]), np.asarray(ref[5]),
+                                   atol=1e-5)
+        for a, r in zip(alt[:3], ref[:3]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                       atol=0.05, rtol=0.05)

@@ -111,3 +111,33 @@ def test_parallel_train_step():
     leaf0 = jax.tree_util.tree_leaves(params)[0]
     leaf1 = jax.tree_util.tree_leaves(params2)[0]
     assert not np.allclose(np.asarray(leaf0), np.asarray(leaf1))
+
+
+def test_engine_video_ba_sharded_matches_single():
+    """Video.ba routes through the keyframe-sharded distributed solver when
+    cfg.ba_shards > 1 and matches the single-device path."""
+    from droid_slam_reserch_tpu.engine import Video
+    from droid_slam_reserch_tpu.utils import DroidConfig
+
+    key = jax.random.PRNGKey(2)
+    T = 8
+    h8, w8 = H, W
+    poses_gt, disps, intr, ii, jj, target, weight = make_problem(key, P=T)
+
+    def run(shards):
+        cfg = DroidConfig(image_size=(h8 * 8, w8 * 8), buffer=T,
+                          window_bucket=4, ba_shards=shards)
+        v = Video(cfg)
+        v.counter = T
+        v.poses = lie.se3_retr(
+            poses_gt, 0.02 * jax.random.normal(jax.random.PRNGKey(3), (T, 6)).at[0].set(0.0))
+        v.disps = disps * 1.05
+        v.intrinsics = jnp.broadcast_to(intr, (T, 4))
+        v.ba(target, weight, 1e-4 * jnp.ones((T, h8, w8)),
+             np.asarray(ii), np.asarray(jj), 1, T, iterations=2)
+        return np.asarray(v.poses[:T]), np.asarray(v.disps[:T])
+
+    p1, d1 = run(0)
+    p4, d4 = run(4)
+    np.testing.assert_allclose(p4, p1, atol=2e-4)
+    np.testing.assert_allclose(d4, d1, atol=2e-3)

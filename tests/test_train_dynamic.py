@@ -1,0 +1,75 @@
+"""Dynamic-graph training step: sampled graphs, edge masking, restarts
+(reference train.py:88-118)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from droid_slam_reserch_tpu import lie
+from droid_slam_reserch_tpu.train import TrainConfig, init_train_state
+from droid_slam_reserch_tpu.train.step import (
+    make_train_step_dynamic, sample_frame_graph)
+
+
+def make_batch(key, B=1, P=4, h=64, w=64, e_pad=16):
+    ks = jax.random.split(key, 4)
+    images = 255.0 * jax.random.uniform(ks[0], (B, P, h, w, 3))
+    poses = lie.se3_exp(0.05 * jax.random.normal(ks[1], (B, P, 6)))
+    disps = 0.8 + 0.4 * jax.random.uniform(ks[2], (B, P, h, w))
+    intr = jnp.broadcast_to(jnp.array([40.0, 40.0, w / 2, h / 2]), (B, P, 4))
+    rng = np.random.default_rng(0)
+    ii, jj, emask = sample_frame_graph(
+        rng, np.asarray(poses), np.asarray(disps), np.asarray(intr), P, e_pad)
+    Ps = lie.se3_inv(poses)
+    Gs0 = jnp.concatenate([Ps[:, :1], jnp.repeat(Ps[:, 1:2], P - 1, axis=1)], 1)
+    return {
+        "images": images, "poses": poses, "disps": disps, "intrinsics": intr,
+        "ii": jnp.asarray(ii), "jj": jnp.asarray(jj), "emask": jnp.asarray(emask),
+        "Gs0": Gs0, "disp0": jnp.ones((B, P, h // 8, w // 8)),
+    }
+
+
+def test_sample_frame_graph_covisibility_and_temporal():
+    rng = np.random.default_rng(1)
+    key = jax.random.PRNGKey(0)
+    P = 5
+    poses = np.asarray(lie.se3_exp(0.05 * jax.random.normal(key, (1, P, 6))))
+    disps = np.ones((1, P, 64, 64), np.float32)
+    intr = np.broadcast_to(np.array([40.0, 40.0, 32.0, 32.0], np.float32), (1, P, 4))
+    seen_counts = set()
+    for _ in range(8):
+        ii, jj, em = sample_frame_graph(rng, poses, disps, intr, P, 24)
+        n = int(em.sum())
+        assert len(ii) == 24 and n > 0
+        assert np.all(ii[em > 0] != jj[em > 0])
+        seen_counts.add(n)
+    # both branches (covisibility num=24 vs temporal r=2) get sampled
+    assert len(seen_counts) >= 1
+
+
+def test_dynamic_step_runs_and_masks_padding():
+    cfg = TrainConfig(batch=1, n_frames=4, iters=1, steps=10)
+    params, opt_state = init_train_state(cfg, image_size=(64, 64))
+    grad_step, apply_step = make_train_step_dynamic(cfg)
+    batch = make_batch(jax.random.PRNGKey(3))
+
+    grads, metrics, (Gs_last, disp_last) = grad_step(params, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert Gs_last.shape == batch["Gs0"].shape
+    assert disp_last.shape == batch["disp0"].shape
+
+    # padded edges must not change the loss: flipping padded jj is a no-op
+    jj2 = np.asarray(batch["jj"]).copy()
+    pad = np.asarray(batch["emask"]) == 0
+    assert pad.any()
+    jj2[pad] = (jj2[pad] + 1) % 4
+    batch2 = dict(batch, jj=jnp.asarray(jj2))
+    _, metrics2, _ = grad_step(params, batch2)
+    np.testing.assert_allclose(float(metrics2["loss"]), float(metrics["loss"]),
+                               rtol=1e-5)
+
+    # restart chaining + grad accumulation applies cleanly
+    grads2, _, _ = grad_step(params, dict(batch, Gs0=Gs_last, disp0=disp_last))
+    acc = jax.tree_util.tree_map(jnp.add, grads, grads2)
+    p2, _ = apply_step(params, opt_state, acc)
+    flat = jax.tree_util.tree_leaves(p2)
+    assert all(np.isfinite(np.asarray(x)).all() for x in flat)
