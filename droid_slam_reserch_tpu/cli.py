@@ -25,6 +25,8 @@ def _add_slam_flags(p):
     p.add_argument("--disable_backend", action="store_true")
     p.add_argument("--upsample", action="store_true")
     p.add_argument("--reconstruction_path", default=None)
+    p.add_argument("--vis_path", default=None,
+                   help="stream a live, incrementally-updated PLY here")
     p.add_argument("--bf16", action="store_true", help="bfloat16 network compute")
     for name, typ in [
         ("filter_thresh", float), ("warmup", int), ("keyframe_thresh", float),
@@ -37,7 +39,7 @@ def _add_slam_flags(p):
 
 def _config_from_args(base, args):
     over = {}
-    for f in ("weights", "buffer", "filter_thresh", "warmup", "keyframe_thresh",
+    for f in ("weights", "buffer", "vis_path", "filter_thresh", "warmup", "keyframe_thresh",
               "frontend_thresh", "frontend_window", "frontend_radius",
               "frontend_nms", "beta", "backend_thresh", "backend_radius",
               "backend_nms", "upsample"):
@@ -251,6 +253,85 @@ def cmd_multisession(args):
     print(f"fused map: {len(fused['poses'])} keyframes -> {args.out}/fused.npz")
 
 
+def cmd_multisession_align(args):
+    """Stage 2 / 2v2: align map B into map A's frame via warm-started loop
+    replay (reference AdjustCoordinates.py:107-236), optionally through the
+    quality-gated ImproveAdjust driver (reference ImproveAdjust.py:204-337).
+
+    --spec is a JSON file:
+      {"groups": [{"seed_idx": [...], "frame_idx": [...], "old_idx": [...],
+                   "imagedir": "path", "calib": "calib.txt"}, ...]}
+    seed_idx indexes map A's keyframes; frame_idx is the group's matched
+    frame ordering (increasing = forward); old_idx indexes map B's keyframes
+    (plain align mode).
+    """
+    from .data import generic_image_stream
+    from .engine.droid import init_params
+    from .multisession import align_pair
+    from .multisession.pipeline import improve_adjust
+    from .utils import EUROC_CONFIG
+
+    cfg = EUROC_CONFIG.replace(stereo=args.stereo, weights=args.weights)
+    params = init_params(cfg)
+    first = dict(np.load(args.first, allow_pickle=True))
+    spec = json.load(open(args.spec))
+
+    def factory(g):
+        return lambda: generic_image_stream(g["imagedir"], g["calib"], 1)
+
+    os.makedirs(args.out, exist_ok=True)
+    if args.improve:
+        groups = [dict(seed_idx=g["seed_idx"], frame_idx=g["frame_idx"],
+                       stream_factory=factory(g), name=g.get("name", i))
+                  for i, g in enumerate(spec["groups"])]
+        state, report = improve_adjust(cfg, params, first, groups,
+                                       bad_limit=args.bad_limit)
+        print(json.dumps({"report": report, "recovered": state is not None}))
+        if state is not None:
+            np.savez_compressed(os.path.join(args.out, "recovered.npz"), **state)
+    else:
+        second = dict(np.load(args.second, allow_pickle=True))
+        runs = [(np.asarray(g["seed_idx"]), np.asarray(g["old_idx"]), factory(g))
+                for g in spec["groups"]]
+        T, new_poses, rows = align_pair(cfg, params, first, second, runs)
+        np.savez_compressed(os.path.join(args.out, "aligned.npz"),
+                            T=T, poses=new_poses, rows=rows)
+        print(json.dumps({"T": np.asarray(T).tolist(), "rows": len(rows)}))
+
+
+def cmd_multisession_evaluate(args):
+    """Stage 4 (reference Whole_Evaluate.py:142-225): per-sequence pose fill
+    from the fused map, concatenated ATE vs concatenated groundtruth.
+
+    --spec JSON: {"sequences": [{"start": a, "stop": b, "imagedir": ...,
+                                 "calib": ..., "gt": "file.txt"}, ...]}
+    """
+    from .data import generic_image_stream
+    from .engine.droid import init_params
+    from .multisession.pipeline import evaluate_fused_map
+    from .utils import EUROC_CONFIG
+
+    cfg = EUROC_CONFIG.replace(stereo=args.stereo, weights=args.weights)
+    params = init_params(cfg)
+    fused = dict(np.load(args.fused, allow_pickle=True))
+    spec = json.load(open(args.spec))
+    slices = [(s["start"], s["stop"]) for s in spec["sequences"]]
+    streams = [
+        (lambda s=s: generic_image_stream(s["imagedir"], s["calib"], 1))
+        for s in spec["sequences"]
+    ]
+    gts = None
+    if all("gt" in s for s in spec["sequences"]):
+        gts = [np.loadtxt(s["gt"]) for s in spec["sequences"]]
+    trajs, res = evaluate_fused_map(cfg, params, fused, slices, streams,
+                                    gts=gts, correct_scale=not args.stereo)
+    if args.out:
+        os.makedirs(args.out, exist_ok=True)
+        for i, tr in enumerate(trajs):
+            np.save(os.path.join(args.out, f"traj_{i}.npy"), tr)
+    print(json.dumps({"ate": res, "sequences": len(trajs)}))
+
+
 def cmd_train(args):
     """Training loop with the reference's full behavior (train.py:43-186):
     50/50 covisibility-vs-temporal graph sampling per item (:88-94), random
@@ -404,6 +485,26 @@ def main(argv=None):
     p.add_argument("--weights", default=None)
     p.add_argument("--subsample", type=int, default=2)
     p.set_defaults(fn=cmd_multisession)
+
+    p = sub.add_parser("multisession-align")
+    p.add_argument("--first", required=True, help="map A reconstruction.npz")
+    p.add_argument("--second", default=None, help="map B reconstruction.npz")
+    p.add_argument("--spec", required=True, help="loop-group JSON spec")
+    p.add_argument("--out", required=True)
+    p.add_argument("--weights", default=None)
+    p.add_argument("--stereo", action="store_true")
+    p.add_argument("--improve", action="store_true",
+                   help="quality-gated ImproveAdjust driver")
+    p.add_argument("--bad_limit", type=int, default=4)
+    p.set_defaults(fn=cmd_multisession_align)
+
+    p = sub.add_parser("multisession-evaluate")
+    p.add_argument("--fused", required=True, help="fused.npz")
+    p.add_argument("--spec", required=True, help="sequence JSON spec")
+    p.add_argument("--out", default=None)
+    p.add_argument("--weights", default=None)
+    p.add_argument("--stereo", action="store_true")
+    p.set_defaults(fn=cmd_multisession_evaluate)
 
     p = sub.add_parser("train")
     p.add_argument("--datapath", required=True)

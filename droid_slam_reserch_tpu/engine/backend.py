@@ -14,6 +14,12 @@ class Backend:
         self.dtype = dtype or jnp.float32
 
     def __call__(self, steps=12):
+        from ..utils.timing import section
+
+        with section("backend"):
+            return self._run(steps)
+
+    def _run(self, steps=12):
         v = self.video
         t = v.counter
         if t < 2:

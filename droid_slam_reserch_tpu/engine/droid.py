@@ -71,6 +71,15 @@ class Droid:
         self.backend = Backend(self.applies, self.params, self.video, config, dtype=self.dtype)
         self.traj_filler = TrajectoryFiller(self.applies, self.params, self.video, config, dtype=self.dtype)
 
+        # live visualization consumer (reference droid.py:40-43 spawns a
+        # viewer process polling video.dirty; here a host thread streams an
+        # incrementally-updated PLY — viz/live.py)
+        self.viewer = None
+        if config.vis_path:
+            from ..viz.live import LiveViewer
+
+            self.viewer = LiveViewer(self.video, out_path=config.vis_path).start()
+
     def track(self, tstamp, image, depth=None, intrinsics=None):
         """Per-frame tracking (reference droid.py:76-90)."""
         self.filterx.track(tstamp, image, depth, intrinsics)
@@ -81,6 +90,11 @@ class Droid:
         del self.frontend
         self.backend(self.cfg.backend_steps_first)
         self.backend(self.cfg.backend_steps_second)
+        if self.viewer is not None:
+            self.viewer.stop()
+        from ..utils.timing import maybe_report
+
+        maybe_report()
 
     def terminate_eva(self, stream=None):
         """Backend + trajectory fill; returns camera trajectory [T, 7]
@@ -88,6 +102,8 @@ class Droid:
         del self.frontend
         self.backend(self.cfg.backend_steps_first)
         self.backend(self.cfg.backend_steps_second)
+        if self.viewer is not None:
+            self.viewer.stop()
         poses = self.traj_filler(stream)
         return np.asarray(se3_inv(jnp.asarray(poses)))
 
@@ -134,3 +150,5 @@ class SDroid(Droid):
         del self.frontend
         self.backend(self.cfg.backend_steps_first)
         self.backend(self.cfg.backend_steps_second)
+        if self.viewer is not None:
+            self.viewer.stop()

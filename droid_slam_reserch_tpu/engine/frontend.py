@@ -107,6 +107,12 @@ class Frontend:
         self.graph.rm_factors(self.graph.ii < self.warmup - 4, store=True)
 
     def __call__(self):
+        from ..utils.timing import section
+
+        with section("frontend"):
+            return self._step()
+
+    def _step(self):
         """Main update (reference :112-121)."""
         if not self.is_initialized and self.video.counter == self.warmup:
             self.__initialize()

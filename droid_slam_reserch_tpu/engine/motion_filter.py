@@ -45,6 +45,12 @@ class MotionFilter:
         self.inp = None
 
     def track(self, tstamp, image, depth=None, intrinsics=None):
+        from ..utils.timing import section
+
+        with section("motion_filter.track"):
+            return self._track(tstamp, image, depth, intrinsics)
+
+    def _track(self, tstamp, image, depth=None, intrinsics=None):
         """Process one input frame (reference motion_filter.py:51-98).
 
         image: [H, W, 3] uint8 BGR, or [2, H, W, 3] for stereo.

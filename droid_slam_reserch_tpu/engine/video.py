@@ -192,6 +192,14 @@ class Video:
         ii/jj: global edge indices (host numpy).  Pads edges/window/degree
         to buckets so ba_solve's jit cache stays small.
         """
+        from ..utils.timing import section
+
+        with section("video.ba"):
+            return self._ba(target, weight, eta_win, ii, jj, t0, t1,
+                            iterations, lm, ep, motion_only)
+
+    def _ba(self, target, weight, eta_win, ii, jj, t0, t1, iterations,
+            lm, ep, motion_only):
         cfg = self.cfg
         ii = np.asarray(ii)
         jj = np.asarray(jj)

@@ -90,6 +90,92 @@ def align_pair(config, params, first_state, second_state, loop_runs):
     return T, new_second_poses, rows_all
 
 
+def improve_adjust(config, params, first_state, groups, bad_limit=4,
+                   probe_frames=80):
+    """Stage 2v2 driver — the fork's robust map-recovery orchestration
+    (reference Euroc_Multisession_Stereo/ImproveAdjust.py:204-337).
+
+    groups: candidate loop groups, each a dict:
+      seed_idx:       map-A frame indices seeding the warm-started session
+      frame_idx:      the group's matched frame-index list (increasing =
+                      forward traversal; decreasing = reverse)
+      stream_factory: callable -> iterable of (t, image, intrinsics)
+
+    Per group: (1) PROBE with the confidence gate ON (good=False) over the
+    first `probe_frames` frames; if more than `bad_limit` keyframes fail the
+    gate the group is rejected (:204-210).  (2) On success, RETRY ungated
+    (good=True) over the whole stream, run the double backend, and harvest
+    the recovered segment after the seed — reversed when the traversal was
+    backwards so both segments end up forward-ordered (:233-249).
+    (3) Stop once TWO groups succeed (one forward, one reverse expected) and
+    STITCH them — the reverse-traversal segment precedes the forward one
+    (:286-311 `good_point==2` ordering).
+
+    Returns (recovered state dict or None, per-group report list).
+    """
+    report = []
+    segments = []  # (is_forward, segment dict)
+    for g in groups:
+        seed_idx = np.asarray(g["seed_idx"])
+        frame_idx = list(g["frame_idx"])
+        seed_poses = first_state["poses"][seed_idx]
+        seed_disps = first_state["disps"][seed_idx]
+
+        # ---- probe with the gate on (good=False)
+        probe = run_loop_session(
+            config, params, seed_poses, seed_disps,
+            _take(g["stream_factory"](), probe_frames), good=False,
+        )
+        n_bad = len(probe.frontend.badT)
+        if n_bad > bad_limit:
+            report.append({"group": g.get("name", len(report)), "bad": n_bad,
+                           "accepted": False})
+            del probe
+            continue
+
+        # ---- gated probe passed: ungated full replay + double backend
+        droid_loop = run_loop_session(
+            config, params, seed_poses, seed_disps, g["stream_factory"](),
+            good=True,
+        )
+        droid_loop.terminate()
+        v = droid_loop.video
+        n_seed = len(seed_idx)
+        stop = min(n_seed + len(frame_idx), int(v.counter))
+        seg = {
+            "poses": np.asarray(v.poses[n_seed:stop]),
+            "disps": np.asarray(v.disps[n_seed:stop]),
+            "images": np.asarray(v.images[n_seed:stop]),
+            "intrinsics": np.asarray(v.intrinsics[n_seed:stop]),
+            "tstamp": np.asarray(v.tstamp[n_seed:stop]),
+        }
+        forward = all(x < y for x, y in zip(frame_idx, frame_idx[1:]))
+        if not forward:
+            seg = {k: val[::-1].copy() for k, val in seg.items()}
+        segments.append((forward, seg))
+        report.append({"group": g.get("name", len(report)), "bad": n_bad,
+                       "accepted": True, "forward": forward})
+        del droid_loop
+        if len(segments) == 2:
+            break
+
+    if len(segments) < 2:
+        return None, report
+
+    # stitch: reverse-traversal segment first (reference :286-311)
+    segments.sort(key=lambda s: s[0])  # False (reverse) before True (forward)
+    a, b = segments[0][1], segments[1][1]
+    state = {k: np.concatenate([a[k], b[k]], axis=0) for k in a}
+    return state, report
+
+
+def _take(stream, n):
+    for i, item in enumerate(stream):
+        if i >= n:
+            break
+        yield item
+
+
 def joint_backend(config, params, states, steps=None):
     """Concatenate session states into one buffer and run the global backend
     twice (reference AdjustCoordinates.py:219-229, SDroid.terminate).

@@ -14,6 +14,7 @@ from typing import Optional, Tuple
 class DroidConfig:
     # model
     weights: Optional[str] = None          # path to droid.pth-style checkpoint
+    vis_path: str = ""                     # live viewer PLY sink ("" = off)
     image_size: Tuple[int, int] = (240, 320)
     buffer: int = 512                      # keyframe ring buffer capacity
     stereo: bool = False

@@ -35,3 +35,21 @@ class Timer:
 
     def elapsed(self):
         return time.perf_counter() - self.t0
+
+
+# process-wide timings for the SLAM engine sections (motion filter, frontend,
+# backend, BA).  Enable the summary dump with DROID_TIMING=1; section() is a
+# no-op-cost context manager either way.
+GLOBAL_TIMINGS = Timings()
+
+
+def section(name):
+    return GLOBAL_TIMINGS.section(name)
+
+
+def maybe_report():
+    import os
+
+    if os.environ.get("DROID_TIMING"):
+        print("=== droid timings ===")
+        print(GLOBAL_TIMINGS.summary(), flush=True)

@@ -7,5 +7,6 @@ GPU memory between processes — the viewer consumes host snapshots of dirty
 keyframes instead (SURVEY.md §2.7 "process parallelism").
 """
 from .pointcloud import backproject_points, depth_filter, export_ply, reconstruction_pointcloud
+from .live import LiveViewer
 
 __all__ = [k for k in dir() if not k.startswith("_")]

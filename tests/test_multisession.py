@@ -79,3 +79,57 @@ def test_joint_backend_two_sessions():
     for r, s in zip(refined, states):
         assert r.shape == s["poses"].shape
         assert np.all(np.isfinite(r))
+
+
+@pytest.mark.slow
+def test_improve_adjust_gating_retry_and_stitch():
+    """ImproveAdjust driver (reference ImproveAdjust.py:204-337): bad groups
+    are rejected by the badT count, good forward+reverse groups are replayed
+    ungated and stitched reverse-first."""
+    from droid_slam_reserch_tpu.engine import Droid
+    from droid_slam_reserch_tpu.engine.droid import init_params
+    from droid_slam_reserch_tpu.multisession.pipeline import improve_adjust
+    from tests.test_engine import INTR, make_config, run_sequence, synth_frame
+
+    cfg = make_config(quality_mean_thresh=200.0, quality_min_thresh=10.0)
+    params = init_params(cfg, seed=0)
+
+    droid = Droid(cfg, params=params)
+    run_sequence(droid, 8)
+    first = droid.video.state_dict()
+    n = len(first["poses"])
+    seed_idx = list(range(min(5, n)))
+
+    rng = np.random.RandomState(7)
+
+    def frames(order):
+        def gen():
+            for t in order:
+                yield float(100 + t), synth_frame(t, rng), INTR
+        return gen
+
+    # impossible gate thresholds force every frame bad -> group rejected
+    bad_cfg = cfg.replace(quality_mean_thresh=1e9, quality_min_thresh=1e9)
+    state, report = improve_adjust(
+        bad_cfg, params, first,
+        [dict(seed_idx=seed_idx, frame_idx=[0, 1, 2, 3, 4, 5],
+              stream_factory=frames(range(12)), name="fwd")],
+        bad_limit=4, probe_frames=12,
+    )
+    assert state is None
+    assert report[0]["accepted"] is False and report[0]["bad"] > 4
+
+    # permissive thresholds accept both groups; stitch = reverse then forward
+    state, report = improve_adjust(
+        cfg.replace(quality_mean_thresh=-1.0, quality_min_thresh=-1.0),
+        params, first,
+        [dict(seed_idx=seed_idx, frame_idx=[5, 4, 3, 2, 1, 0],
+              stream_factory=frames(range(5, -1, -1)), name="rev"),
+         dict(seed_idx=seed_idx, frame_idx=[0, 1, 2, 3, 4, 5],
+              stream_factory=frames(range(6)), name="fwd")],
+        bad_limit=4, probe_frames=12,
+    )
+    assert all(r["accepted"] for r in report)
+    assert state is not None
+    assert len(state["poses"]) > 0
+    assert np.isfinite(state["poses"]).all()
