@@ -38,13 +38,19 @@ iid, jjd = jnp.asarray(ii), jnp.asarray(jj)
 f = (0.1 * jax.random.normal(key, (MW, h8, w8, 128))).astype(fdt)
 f1, f2 = f[iid], f[jjd]
 
+def _sync(out):
+    # axon tunnel: block_until_ready is unreliable; a host readback is real
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf[(0,) * leaf.ndim] if leaf.ndim else leaf)
+    return out
+
+
 def timeit(name, fn, *args, reps=20):
-    out = jax.block_until_ready(fn(*args))
+    out = _sync(fn(*args))
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    out = jax.tree_util.tree_map(lambda x: x, out)
-    jax.block_until_ready(out)
+    _sync(out)
     dt = (time.perf_counter() - t0) / reps * 1e3
     print(f"{name:36s} {dt:8.3f} ms", flush=True)
     return out

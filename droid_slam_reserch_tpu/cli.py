@@ -203,23 +203,68 @@ def cmd_eth3d(args):
     print(f"tracked {len(traj)} frames")
 
 
-def cmd_tartanair(args):
+def _tartanair_one(cfg, scenedir, gt_file, stereo, stride):
     from .data import tartan_stream
     from .engine import Droid
     from .eval.metrics import evaluate_tartanair
+
+    droid = Droid(cfg)
+    _track_stream(droid, tartan_stream(scenedir, stereo=stereo, stride=stride))
+    traj = droid.terminate_eva(
+        iter([(x[0], x[1][0] if stereo else x[1], x[2])
+              for x in tartan_stream(scenedir, stereo=stereo, stride=stride)])
+    )
+    res = None
+    if gt_file and os.path.exists(gt_file):
+        gt = np.loadtxt(gt_file)[:, [1, 2, 0]]  # NED -> xyz translation part
+        res = evaluate_tartanair(traj[: len(gt), :3], gt[: len(traj)])
+    return traj, res
+
+
+def cmd_tartanair(args):
+    """Single scene, or (--split) the full TartanAir test-split sweep with a
+    success-rate curve (reference validate_tartanair.py:77-114)."""
     from .utils import TARTANAIR_CONFIG
 
     cfg = _config_from_args(TARTANAIR_CONFIG.replace(stereo=args.stereo), args)
-    droid = Droid(cfg)
-    _track_stream(droid, tartan_stream(args.datapath, stereo=args.stereo, stride=args.stride))
-    traj = droid.terminate_eva(
-        iter([(x[0], x[1][0] if args.stereo else x[1], x[2])
-              for x in tartan_stream(args.datapath, stereo=args.stereo, stride=args.stride)])
-    )
-    if args.gt:
-        gt = np.loadtxt(args.gt)[:, [1, 2, 0]]  # NED -> xyz translation part
-        res = evaluate_tartanair(traj[: len(gt), :3], gt[: len(traj)])
-        print(json.dumps(res))
+    if not args.split:
+        traj, res = _tartanair_one(cfg, args.datapath, args.gt,
+                                   args.stereo, args.stride)
+        if res is not None:
+            print(json.dumps(res))
+        return
+
+    from .data.tartan import TARTAN_TEST_SPLIT
+
+    scenes = [s for s in TARTAN_TEST_SPLIT
+              if os.path.isdir(os.path.join(args.datapath, s))]
+    if args.id >= 0:
+        scenes = [TARTAN_TEST_SPLIT[args.id]]
+    ates = []
+    for scene in scenes:
+        scenedir = os.path.join(args.datapath, scene)
+        gt_file = os.path.join(scenedir, "pose_left.txt")
+        print(f"evaluating {scene}", flush=True)
+        _, res = _tartanair_one(cfg, scenedir, gt_file, args.stereo, args.stride)
+        ate = res["ate"] if res else float("nan")
+        ates.append(ate)
+        print(json.dumps({"scene": scene, "ate": ate}))
+
+    # success-rate curve: fraction of runs under each ATE threshold
+    # (reference validate_tartanair.py:106-114 plot, emitted as JSON here)
+    ate_arr = np.asarray([a for a in ates if np.isfinite(a)])
+    xs = np.linspace(0.0, 1.0, 512)
+    curve = [float(np.count_nonzero(ate_arr < t)) / max(len(ate_arr), 1) for t in xs]
+    summary = {
+        "scenes": len(scenes),
+        "mean_ate": float(np.nanmean(ates)) if ates else None,
+        "success_rate_curve": {"thresholds": xs.tolist()[::32],
+                               "fraction": curve[::32]},
+    }
+    print(json.dumps(summary))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"per_scene": dict(zip(scenes, ates)), **summary}, f)
 
 
 def cmd_view(args):
@@ -471,6 +516,10 @@ def main(argv=None):
     p.add_argument("--datapath", required=True)
     p.add_argument("--gt", default=None)
     p.add_argument("--stereo", action="store_true")
+    p.add_argument("--split", action="store_true",
+                   help="sweep the TartanAir test split + success-rate curve")
+    p.add_argument("--id", type=int, default=-1, help="single split scene index")
+    p.add_argument("--out", default=None, help="JSON results path (--split)")
     _add_slam_flags(p)
     p.set_defaults(fn=cmd_tartanair)
 

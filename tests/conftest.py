@@ -18,6 +18,15 @@ if "xla_force_host_platform_device_count" not in flags:
 import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# persistent XLA compile cache: the suite is compile-dominated (dozens of
+# jitted programs), so re-runs drop from ~15 min to the few minutes of
+# actual execution once the cache is warm.
+_cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      ".jax_cache_tests")
+os.makedirs(_cache, exist_ok=True)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+
 # The container's sitecustomize imports jax at interpreter startup with
 # JAX_PLATFORMS=axon already captured — override the live config too.
 import jax
