@@ -118,14 +118,14 @@ def main():
         )
 
     # warmup / compile
-    p, d, dmp, n_, t_, _ = one_keyframe(poses, disps, damping, nets_e, target0)
+    p, d, dmp, n_, t_, _, _ = one_keyframe(poses, disps, damping, nets_e, target0)
     jax.block_until_ready(p)
-    p, d, dmp, n_, t_, _ = one_keyframe(p, d, dmp, n_, t_)
+    p, d, dmp, n_, t_, _, _ = one_keyframe(p, d, dmp, n_, t_)
     jax.block_until_ready(p)
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        p, d, dmp, n_, t_, _ = one_keyframe(p, d, dmp, n_, t_)
+        p, d, dmp, n_, t_, _, _ = one_keyframe(p, d, dmp, n_, t_)
     jax.block_until_ready(p)
     dt = time.perf_counter() - t0
 
@@ -140,7 +140,7 @@ def main():
     kf_iters = 2 if small else 10
     t0 = time.perf_counter()
     for _ in range(kf_iters):
-        p2, d2, dmp2, n2, t2, _ = one_keyframe(poses, disps, damping, nets_e, target0)
+        p2, d2, dmp2, n2, t2, _, _ = one_keyframe(poses, disps, damping, nets_e, target0)
     jax.block_until_ready(p2)
     extra["frontend_keyframes_per_s"] = round(kf_iters / (time.perf_counter() - t0), 3)
 

@@ -335,13 +335,30 @@ def cmd_multisession_align(args):
         if state is not None:
             np.savez_compressed(os.path.join(args.out, "recovered.npz"), **state)
     else:
+        if args.second is None:
+            raise SystemExit(
+                "multisession-align: --second is required unless --improve")
         second = dict(np.load(args.second, allow_pickle=True))
         runs = [(np.asarray(g["seed_idx"]), np.asarray(g["old_idx"]), factory(g))
                 for g in spec["groups"]]
         T, new_poses, rows = align_pair(cfg, params, first, second, runs)
         np.savez_compressed(os.path.join(args.out, "aligned.npz"),
                             T=T, poses=new_poses, rows=rows)
-        print(json.dumps({"T": np.asarray(T).tolist(), "rows": len(rows)}))
+        out = {"T": np.asarray(T).tolist(), "rows": len(rows)}
+        if not args.no_joint:
+            # stage 2 ends with a joint global backend over the concatenated
+            # pair (reference AdjustCoordinates.py:219-229)
+            from .multisession.pipeline import joint_backend
+
+            second_t = dict(second)
+            second_t["poses"] = np.asarray(new_poses)
+            refined = joint_backend(cfg, params, [first, second_t])
+            np.savez_compressed(
+                os.path.join(args.out, "aligned_joint.npz"),
+                poses_first=refined[0], poses_second=refined[1], T=T,
+            )
+            out["joint"] = "aligned_joint.npz"
+        print(json.dumps(out))
 
 
 def cmd_multisession_evaluate(args):
@@ -405,14 +422,54 @@ def cmd_train(args):
                          n_frames=cfg.n_frames, fmin=cfg.fmin, fmax=cfg.fmax)
     grad_step, apply_step = make_train_step_dynamic(cfg)
 
+    # --- data parallelism over every device of every process (the DDP
+    # analog, reference train.py:28-36,174-186): the per-process batch is
+    # assembled into ONE global array sharded over a "dp" mesh spanning
+    # jax.devices(); params/opt stay replicated, so jit/GSPMD inserts the
+    # cross-replica gradient reduction that DDP does in backward().
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as JP
+
+    n_local = jax.local_device_count()
+    n_proc = jax.process_count()
+    use_dp = jax.device_count() > 1 and cfg.batch % n_local == 0
+    if n_proc > 1 and not use_dp:
+        raise SystemExit(
+            f"multi-host training needs --batch divisible by the "
+            f"{n_local} local devices (got {cfg.batch})"
+        )
+    if use_dp:
+        mesh = Mesh(np.asarray(jax.devices()).reshape(-1), ("dp",))
+        dp_sh = NamedSharding(mesh, JP("dp"))
+        rep_sh = NamedSharding(mesh, JP())
+
+        def put_batch(x):
+            x = np.asarray(x)
+            if n_proc > 1:
+                return jax.make_array_from_process_local_data(dp_sh, x)
+            return jax.device_put(x, dp_sh)
+
+        def put_rep(x):
+            return jax.device_put(jnp.asarray(x), rep_sh)
+    else:
+        put_batch = jnp.asarray
+        put_rep = jnp.asarray
+
     params, opt_state = init_train_state(cfg, image_size=cfg.image_size)
     if args.ckpt:
         data = np.load(args.ckpt, allow_pickle=True)
         params = jax.tree_util.tree_map(jnp.asarray, data["params"].item())
+    if use_dp:
+        params = jax.device_put(params, rep_sh)
+        opt_state = jax.device_put(opt_state, rep_sh)
     logger = Logger(cfg.name)
-    rng = np.random.default_rng(12345 + jax.process_index())
+    # restart draws must be SHARED across processes (all replicas run the
+    # same number of accumulation passes per optimizer step, like DDP's
+    # lockstep backward) — seed deliberately excludes process_index
+    rng = np.random.default_rng(12345)
     restart_prob = getattr(args, "restart_prob", 0.2)
-    e_pad = 4 * cfg.n_frames  # fixed edge pad (covers r=2 temporal + extras)
+    # fixed edge pad: covers the r=2 temporal graph AND the covisibility
+    # sampler's num_edges=24 (step.py:205 silently truncates past e_pad)
+    e_pad = max(4 * cfg.n_frames, 24)
 
     # background prefetch: sample items + per-item graph off the step loop
     q = queue.Queue(maxsize=4)
@@ -420,40 +477,72 @@ def cmd_train(args):
 
     def producer():
         prng = np.random.default_rng(54321 + jax.process_index())
-        while not stop.is_set():
-            idx = prng.integers(0, len(db), size=cfg.batch)
-            items = [db[int(i)] for i in idx]
-            images = np.stack([x[0] for x in items])
-            poses = np.stack([x[1] for x in items])
-            disps = np.stack([x[2] for x in items])
-            intr = np.stack([x[3] for x in items])
-            ii, jj, emask = sample_frame_graph(
-                prng, poses, disps, intr, cfg.n_frames, e_pad)
-            try:
-                q.put((images, poses, disps, intr, ii, jj, emask), timeout=30)
-            except queue.Full:
-                continue
+        # graph sampling must agree across processes (one graph per GLOBAL
+        # batch, like the single-process loop shares one graph per batch),
+        # so its rng is seeded without process_index
+        grng = np.random.default_rng(98765)
+        try:
+            while not stop.is_set():
+                idx = prng.integers(0, len(db), size=cfg.batch)
+                items = [db[int(i)] for i in idx]
+                images = np.stack([x[0] for x in items])
+                poses = np.stack([x[1] for x in items])
+                disps = np.stack([x[2] for x in items])
+                intr = np.stack([x[3] for x in items])
+                ii, jj, emask = sample_frame_graph(
+                    grng, poses, disps, intr, cfg.n_frames, e_pad)
+                while not stop.is_set():
+                    try:
+                        q.put((images, poses, disps, intr, ii, jj, emask),
+                              timeout=5)
+                        break
+                    except queue.Full:
+                        continue
+        except BaseException as e:  # surface dataset errors to the main loop
+            q.put(e)
+            raise
 
     th = threading.Thread(target=producer, daemon=True)
     th.start()
 
+    def next_item():
+        while True:
+            try:
+                item = q.get(timeout=10)
+            except queue.Empty:
+                if not th.is_alive():
+                    raise RuntimeError("data producer thread died")
+                continue
+            if isinstance(item, BaseException):
+                raise RuntimeError("data producer failed") from item
+            return item
+
     total = 0
     try:
         while total < cfg.steps:
-            images, poses, disps, intr, ii, jj, emask = q.get()
-            Ps = se3_inv(jnp.asarray(poses))
+            images, poses, disps, intr, ii, jj, emask = next_item()
+            if n_proc > 1:
+                # one graph per global batch: the covisibility graph depends
+                # on local data, so take process 0's for every replica
+                from jax.experimental import multihost_utils
+
+                ii, jj, emask = multihost_utils.broadcast_one_to_all(
+                    (ii, jj, emask))
+            poses = put_batch(poses)
+            Ps = se3_inv(poses)
             Gs0 = jnp.concatenate(
                 [Ps[:, :1], jnp.repeat(Ps[:, 1:2], Ps.shape[1] - 1, axis=1)],
                 axis=1,
             )
-            disp0 = jnp.ones_like(jnp.asarray(disps)[:, :, 3::8, 3::8])
+            disps = put_batch(disps)
+            disp0 = jnp.ones_like(disps[:, :, 3::8, 3::8])
             batch = {
-                "images": jnp.asarray(images),
-                "poses": jnp.asarray(poses),
-                "disps": jnp.asarray(disps),
-                "intrinsics": jnp.asarray(intr),
-                "ii": jnp.asarray(ii), "jj": jnp.asarray(jj),
-                "emask": jnp.asarray(emask),
+                "images": put_batch(images),
+                "poses": poses,
+                "disps": disps,
+                "intrinsics": put_batch(intr),
+                "ii": put_rep(ii), "jj": put_rep(jj),
+                "emask": put_rep(emask),
                 "Gs0": Gs0, "disp0": disp0,
             }
 
@@ -545,6 +634,9 @@ def main(argv=None):
     p.add_argument("--improve", action="store_true",
                    help="quality-gated ImproveAdjust driver")
     p.add_argument("--bad_limit", type=int, default=4)
+    p.add_argument("--no_joint", action="store_true",
+                   help="skip the joint global backend over the aligned pair "
+                        "(reference AdjustCoordinates.py:219-229)")
     p.set_defaults(fn=cmd_multisession_align)
 
     p = sub.add_parser("multisession-evaluate")

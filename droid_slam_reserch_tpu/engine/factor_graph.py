@@ -243,7 +243,7 @@ def _fused_rounds(
     amask = active_mask[:, None, None, None].astype(jnp.float32)
 
     def round_body(_, st):
-        poses, disps, damping, nets, target_a, _ = st
+        poses, disps, damping, nets, target_a, _, _ = st
 
         coords1, _ = projective_transform(
             poses[None], disps[None], intr_win[None], ii_a, jj_a
@@ -265,7 +265,7 @@ def _fused_rounds(
             corr = corr_lookup_pyramid_flat(pyr, cflat)
         corr = corr.reshape(E, h8, w8, -1)
 
-        nets, delta, weight, eta, _ = apply_fn(
+        nets, delta, weight, eta, upmask = apply_fn(
             params, nets[None], inps_e[None], corr[None].astype(dtype),
             motn[None].astype(dtype), kk_a, MW,
         )
@@ -286,14 +286,18 @@ def _fused_rounds(
             use_pallas=use_pallas,
         )
         disps = jnp.maximum(disps, 0.001)
-        return poses, disps, damping, nets, target_a, weight_a
+        return poses, disps, damping, nets, target_a, weight_a, upmask[0]
 
     weight0 = jnp.zeros_like(target_a)
-    poses, disps, damping, nets, target_a, weight_a = jax.lax.fori_loop(
+    upmask0 = jnp.zeros((MW, h8, w8, 8 * 8 * 9), dtype)
+    poses, disps, damping, nets, target_a, weight_a, upmask = jax.lax.fori_loop(
         0, rounds, round_body,
-        (poses_win, disps_win, damping_win, nets_e, target_a, weight0),
+        (poses_win, disps_win, damping_win, nets_e, target_a, weight0, upmask0),
     )
-    return poses, disps, damping, nets, target_a, weight_a
+    # the LAST round's per-frame upsampling mask rides out of the fused loop
+    # so `--upsample` keeps the one-dispatch path (reference upsamples inside
+    # each update, factor_graph.py:246-248; the final mask is what persists)
+    return poses, disps, damping, nets, target_a, weight_a, upmask
 
 
 class FactorGraph:
@@ -510,7 +514,8 @@ class FactorGraph:
 
         Semantics match `rounds` successive update() calls (reference
         droid_frontend.py:52-53 loops); the host pays a single dispatch.
-        Does not drive upsampling — use update() when cfg.upsample is set.
+        When cfg.upsample is set, the final round's upmask upsamples the
+        source frames' disparities (reference factor_graph.py:246-248).
         """
         if len(self.ii) == 0 or rounds == 0:
             return
@@ -591,7 +596,7 @@ class FactorGraph:
         )
 
         sl = slice(m0, m0 + MW)
-        poses, disps, damping, nets, target_out, weight_out = _fused_rounds(
+        poses, disps, damping, nets, target_out, weight_out, upmask = _fused_rounds(
             self.update_apply, self.params,
             video.poses[sl], video.disps[sl], video.disps_sens[sl],
             video.damping[sl], video.intrinsics[0],
@@ -612,6 +617,11 @@ class FactorGraph:
         self.net = nets[:n]
         self.target = target_out[:n]
         self.weight = weight_out[:n]
+        if self.upsample:
+            ux = np.unique(self.ii)
+            video.upsample(
+                jnp.asarray(ux), upmask[jnp.asarray(ux - m0)].astype(jnp.float32)
+            )
         self.age += rounds
 
     def probe_quality(self):

@@ -33,13 +33,9 @@ class Frontend:
         self.frontend_radius = config.frontend_radius
 
     def _run_updates(self, rounds, t0=None):
-        """rounds x (update op + DBA): one fused device program unless
-        upsampling is enabled (the fused path skips upsampling)."""
-        if self.cfg.upsample:
-            for _ in range(rounds):
-                self.graph.update(t0, None, use_inactive=True)
-        else:
-            self.graph.update_fused(rounds, t0=t0, use_inactive=True)
+        """rounds x (update op + DBA) as one fused device program; the final
+        round's upmask drives upsampling when cfg.upsample is set."""
+        self.graph.update_fused(rounds, t0=t0, use_inactive=True)
 
     def __update(self):
         """Add edges, perform update (reference :37-75)."""

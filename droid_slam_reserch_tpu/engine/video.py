@@ -173,11 +173,16 @@ class Video:
         return np.asarray(d[:n])
 
     def distance_matrix(self, t0, t1, t, beta=0.3):
-        """Pairwise distances [t0,t) x [t1,t) (used by proximity edges)."""
+        """Pairwise distances [t0,t) x [t1,t) (used by proximity edges).
+
+        Bidirectional (mean of both flow directions) like the reference's
+        default `video.distance(ii, jj, beta=beta)` call from proximity
+        selection (reference depth_video.py:160-182, factor_graph.py:326).
+        """
         ix = np.arange(t0, t)
         jx = np.arange(t1, t)
         ii, jj = np.meshgrid(ix, jx, indexing="ij")
-        d = self.distance(ii.reshape(-1), jj.reshape(-1), beta=beta, bidirectional=False)
+        d = self.distance(ii.reshape(-1), jj.reshape(-1), beta=beta, bidirectional=True)
         return d.reshape(len(ix), len(jx))
 
     # -------------------------------------------------------------------- BA

@@ -96,7 +96,9 @@ class LiveViewer:
 
         pts = np.asarray(backproject_points(poses[ix], disps[ix], intr))
         disps_np = np.asarray(disps[ix])
-        thresh = self.filter_thresh * np.ones(len(ix)) * float(np.mean(np.asarray(disps)))
+        # constant per-frame threshold (reference visualization.py:108 uses
+        # filter_thresh * ones_like(...) — NOT scaled by scene disparity)
+        thresh = self.filter_thresh * np.ones(len(ix))
         counts = np.asarray(depth_filter(poses, disps, intr, ix, thresh))
         masks = (counts >= self.filter_count) & (
             disps_np > 0.5 * disps_np.mean(axis=(1, 2), keepdims=True)

@@ -29,6 +29,11 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
 
 # The container's sitecustomize imports jax at interpreter startup with
 # JAX_PLATFORMS=axon already captured — override the live config too.
+# (Same for the compile cache: the env vars above are read at import time,
+# which already happened, so set the live config explicitly or the cache
+# silently stays disabled and every suite run recompiles everything.)
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

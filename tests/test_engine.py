@@ -143,3 +143,39 @@ class TestRGBD:
         assert droid.frontend.is_initialized
         t = droid.video.counter
         assert np.any(np.asarray(droid.video.disps_sens[:t]) > 0)
+
+
+def test_distance_matrix_bidirectional(shared_params):
+    """Proximity-graph distances must average both flow directions like the
+    reference's default video.distance (depth_video.py:160-182) — an edge-set
+    parity requirement for add_proximity_factors (factor_graph.py:326)."""
+    from droid_slam_reserch_tpu.geom import frame_distance
+
+    droid = run_sequence(Droid(make_config(), params=shared_params), n_frames=10)
+    v = droid.video
+    t = v.counter
+    assert t >= 4
+    d = v.distance_matrix(0, 0, t)
+
+    ii, jj = np.meshgrid(np.arange(t), np.arange(t), indexing="ij")
+    ii, jj = ii.reshape(-1), jj.reshape(-1)
+    intr = v.intrinsics[0]
+    d1 = np.asarray(frame_distance(v.poses, v.disps, intr, ii, jj, beta=0.3))
+    d2 = np.asarray(frame_distance(v.poses, v.disps, intr, jj, ii, beta=0.3))
+    oracle = (0.5 * (d1 + d2)).reshape(t, t)
+    np.testing.assert_allclose(d, oracle, rtol=1e-5, atol=1e-5)
+
+
+def test_upsample_through_fused_frontend(shared_params):
+    """--upsample must ride the fused one-dispatch path: update_fused's final
+    round emits the upmask and populates disps_up (reference upsamples during
+    updates, factor_graph.py:246-248)."""
+    droid = run_sequence(
+        Droid(make_config(upsample=True), params=shared_params), n_frames=10
+    )
+    v = droid.video
+    assert v.disps_up is not None
+    up = np.asarray(v.disps_up[: v.counter])
+    assert up.shape[1:] == (H, W)
+    assert np.isfinite(up).all()
+    assert (np.abs(up) > 0).any()

@@ -133,3 +133,37 @@ def test_improve_adjust_gating_retry_and_stitch():
     assert state is not None
     assert len(state["poses"]) > 0
     assert np.isfinite(state["poses"]).all()
+
+
+def test_extract_images_by_timestamp_index_semantics(tmp_path):
+    """Stage-1 keyframe export: the video stores stride*t frame indices as
+    stamps (like the reference streams, loop_detect.py:79) and the extractor
+    must index the name-sorted raw file list with them (reference
+    loop_detect.py:96-105)."""
+    from droid_slam_reserch_tpu.multisession.pipeline import (
+        extract_images_by_timestamp,
+    )
+
+    src = tmp_path / "cam0" / "data"
+    src.mkdir(parents=True)
+    # EuRoC-style ns filenames, deliberately unsorted creation order
+    stamps_ns = [1403636579763555584, 1403636579813555456, 1403636579863555584,
+                 1403636579913555456, 1403636579963555584]
+    for s in stamps_ns:
+        (src / f"{s}.png").write_bytes(b"png" + str(s).encode())
+
+    out = tmp_path / "keyframes"
+    copied = extract_images_by_timestamp(str(src), [0.0, 2.0, 4.0], str(out))
+    assert [int(c.split("/")[-1][:-4]) for c in copied] == [
+        stamps_ns[0], stamps_ns[2], stamps_ns[4]
+    ]
+    assert sorted(f.name for f in out.iterdir()) == sorted(
+        f"{stamps_ns[i]}.png" for i in (0, 2, 4)
+    )
+
+    # real-ns-stamp fallback still matches by nearest timestamp
+    out2 = tmp_path / "keyframes2"
+    copied2 = extract_images_by_timestamp(
+        str(src), [float(stamps_ns[1]) + 3.0], str(out2), tol=0.5
+    )
+    assert len(copied2) == 1 and str(stamps_ns[1]) in copied2[0]
