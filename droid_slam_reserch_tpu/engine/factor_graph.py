@@ -24,6 +24,7 @@ from ..geom import projective_transform, coords_grid
 from ..ops.corr import (
     altcorr_pyramid,
     build_pyramid_flat,
+    build_pyramid_pmajor,
     corr_lookup_pyramid_flat,
     corr_lookup_windows,
     corr_volume_flat,
@@ -33,16 +34,39 @@ from ..ops.corr import (
     window_bases,
     window_drift_ok,
 )
+from ..ops.pallas_corr import corr_lookup_pmajor_pallas
 
 
 import os as _os
 
-# windowed correlation lookup in the fused frontend loop (exact while
-# coords stay in-window; lax.cond fallback to the full lookup on drift).
-# Default OFF: measured on the v5e chip the window extraction + cond
-# overhead makes the whole fused loop ~1.6x SLOWER than the plain per-round
-# one-hot pyramid lookup (29.6 vs 46.8 update-iters/s at EuRoC shapes).
-_USE_CORR_WINDOWS = _os.environ.get("DROID_CORR_WINDOWS", "0") != "0"
+# Correlation lookup implementation for the frontend hot path:
+#   pallas  — fused Pallas kernel over the P-major volume (default on TPU;
+#             3.7 ms/round vs 21.4 ms for the XLA one-hot path at EuRoC
+#             scale on v5e — see tools/profile_frontend.py)
+#   flat    — XLA one-hot interpolation-matrix matmuls (default on CPU,
+#             where Pallas would run interpreted)
+#   windows — per-keyframe cached 24x24 windows (measured slower on v5e)
+_CORR_IMPL = _os.environ.get("DROID_CORR", "auto")
+_USE_CORR_WINDOWS = _CORR_IMPL == "windows"
+
+
+def _corr_impl():
+    if _CORR_IMPL != "auto":
+        return _CORR_IMPL
+    return "pallas" if jax.devices()[0].platform != "cpu" else "flat"
+
+
+def _build_corr_lookup(f1, f2, dtype):
+    """Build the per-keyframe correlation pyramid; returns lookup(cflat
+    [E,P,2]) -> [E,P,L*49] using the configured implementation."""
+    if _corr_impl() == "pallas":
+        padded, pmeta = build_pyramid_pmajor(f1, f2, dtype=dtype)
+        interp = jax.devices()[0].platform == "cpu"
+        return lambda cflat: corr_lookup_pmajor_pallas(
+            padded, pmeta, cflat, interpret=interp
+        )
+    pyr = build_pyramid_flat(corr_volume_flat(f1, f2, dtype=dtype))
+    return lambda cflat: corr_lookup_pyramid_flat(pyr, cflat)
 
 
 def _round_up(x, m):
@@ -82,17 +106,14 @@ def _update_op_step(
     motn = jnp.concatenate([coords1 - coords0, target - coords1], axis=-1)
     motn = jnp.clip(motn, -64.0, 64.0)
 
-    # all-pairs correlation volume pyramid (MXU) + per-level interp-matrix
-    # lookups (XLA fuses the one-hot build into each level's matmul);
-    # flat-pixel layout + compute dtype (bf16 on TPU) keep it copy-free
+    # all-pairs correlation volume pyramid (MXU) + fused lookup (Pallas
+    # P-major kernel on TPU, one-hot interp-matrix matmuls on CPU);
+    # compute dtype (bf16 on TPU) halves every volume read
     f1 = fmaps[ii, 0]
     f2 = fmaps[jj, cams]
     E = f1.shape[0]
-    vol = corr_volume_flat(f1, f2, dtype=dtype)
-    pyr = build_pyramid_flat(vol, num_levels=4)
-    corr = corr_lookup_pyramid_flat(
-        pyr, coords1.reshape(E, h8 * w8, 2)
-    ).reshape(E, h8, w8, -1)
+    lookup = _build_corr_lookup(f1, f2, dtype)
+    corr = lookup(coords1.reshape(E, h8 * w8, 2)).reshape(E, h8, w8, -1)
 
     net, delta, weight, eta, upmask = apply_fn(
         params,
@@ -167,6 +188,103 @@ def _update_op_step_alt(
 
 @partial(
     jax.jit,
+    static_argnames=("apply_fn", "S", "dtype", "upsample"),
+)
+def _lowmem_refresh(
+    apply_fn,
+    params,
+    poses,
+    disps,
+    disps_up,
+    intrinsics,
+    fmaps,
+    inps,
+    nets_ck,
+    target_ck,
+    ii_ck,
+    jj_ck,
+    cams_ck,
+    kk_ck,
+    frame_ck,
+    emask_ck,
+    damping,
+    S,
+    dtype=jnp.float32,
+    upsample=False,
+):
+    """One full motion-feature refresh over every edge of a global graph,
+    scanned chunk-by-chunk inside ONE device program.
+
+    The reference's update_lowmem inner loop dispatches a kernel volley +
+    host syncs per 8-source-frame chunk (reference factor_graph.py:253-296);
+    here the chunks are padded to a static [nC, EB] layout on the host once
+    and a lax.scan walks them on-device: correlation is the fused altcorr
+    (pooled feature pyramid, no materialized volume — reference
+    altcorr_kernel.cu:27-149), and target/weight/nets/damping never leave
+    the device between chunks.
+
+    poses [T,7], disps [T,h,w], intrinsics [T,4], fmaps [T,C,h,w,128],
+    inps [T,h,w,128]; *_ck are [nC, EB] chunked edge arrays (emask_ck
+    flags real edges), kk_ck in [0,S) maps edges to chunk frame slots,
+    frame_ck [nC,S] global frame id per slot (T = no-edge sentinel).
+    Returns (nets [nC,EB,..], target, weight, damping [T,h,w], disps_up).
+    """
+    T = poses.shape[0]
+    h8, w8 = disps.shape[-2:]
+    coords0 = coords_grid(h8, w8)
+    damping_ext = jnp.concatenate([damping, jnp.zeros((1, h8, w8))], axis=0)
+
+    def body(carry, xs):
+        damping_ext, disps_up = carry
+        ii, jj, cams, kk, frame_ids, emask, nets, target = xs
+
+        coords1, _ = projective_transform(
+            poses[None], disps[None], intrinsics[None], ii, jj
+        )
+        coords1 = coords1[0]
+        motn = jnp.clip(
+            jnp.concatenate([coords1 - coords0, target - coords1], axis=-1),
+            -64.0, 64.0,
+        )
+
+        f1 = fmaps[ii, 0].astype(dtype)
+        f2 = fmaps[jj, cams].astype(dtype)
+        f2_pyr = [f2]
+        for _ in range(3):
+            f2_pyr.append(pool2x_fmap(f2_pyr[-1]))
+        corr = altcorr_pyramid(f1, f2_pyr, coords1)
+
+        nets, delta, weight, eta, upmask = apply_fn(
+            params, nets[None], inps[ii][None], corr[None].astype(dtype),
+            motn[None].astype(dtype), kk, S,
+        )
+        nets = nets[0]
+        target = coords1 + delta[0].astype(jnp.float32)
+        weight = weight[0].astype(jnp.float32) * emask[:, None, None, None]
+
+        damping_ext = damping_ext.at[frame_ids].set(eta[0].astype(jnp.float32))
+        if upsample:
+            d = jnp.clip(frame_ids, 0, T - 1)
+            up = cvx_upsample_fn(
+                disps[d][..., None], upmask[0].astype(jnp.float32)
+            )[..., 0]
+            disps_up = disps_up.at[frame_ids].set(up)
+        return (damping_ext, disps_up), (nets, target, weight)
+
+    (damping_ext, disps_up), (nets, target, weight) = jax.lax.scan(
+        body,
+        (damping_ext, disps_up),
+        (ii_ck, jj_ck, cams_ck, kk_ck, frame_ck, emask_ck, nets_ck, target_ck),
+    )
+    return nets, target, weight, damping_ext[:T], disps_up
+
+
+# late import target for _lowmem_refresh's optional upsampling
+from ..models.update import cvx_upsample as cvx_upsample_fn  # noqa: E402
+
+
+@partial(
+    jax.jit,
     static_argnames=("apply_fn", "rounds", "ba_iters", "dtype", "use_pallas"),
 )
 def _fused_rounds(
@@ -220,17 +338,13 @@ def _fused_rounds(
     intr_win = jnp.broadcast_to(intr, (MW, 4))
 
     # all-pairs correlation volume pyramid, built ONCE per keyframe on the
-    # MXU; per-pixel 24x24 windows around the initial reprojection are
-    # extracted once (8-aligned slab selection, exact) and every round's
-    # lookup runs inside the cached windows — bit-identical to the full
-    # lookup while coords stay in-window (they move < 1 px/round once BA
-    # converges), with a lax.cond fallback to the full path on drift.
-    # This cuts the dominant per-round cost ~6x (the full one-hot lookup
-    # reads every volume row per pixel per round).
+    # MXU; every round samples it with the configured lookup (Pallas P-major
+    # kernel on TPU — the per-round cost drops from 21.4 to 3.7 ms at EuRoC
+    # scale on v5e; see _CORR_IMPL above for the alternatives).
     E = fmap1_e.shape[0]
-    vol = corr_volume_flat(fmap1_e, fmap2_e, dtype=dtype)
-    pyr = build_pyramid_flat(vol, num_levels=4)
     if _USE_CORR_WINDOWS:
+        vol = corr_volume_flat(fmap1_e, fmap2_e, dtype=dtype)
+        pyr = build_pyramid_flat(vol, num_levels=4)
         padded, wmeta = pad_pyramid_flat(pyr)
 
         coords_init, _ = projective_transform(
@@ -239,6 +353,8 @@ def _fused_rounds(
         cflat0 = coords_init[0].reshape(E, h8 * w8, 2)
         wbases = window_bases(cflat0, wmeta)
         wins = extract_windows(padded, wmeta, wbases)
+    else:
+        lookup = _build_corr_lookup(fmap1_e, fmap2_e, dtype)
 
     amask = active_mask[:, None, None, None].astype(jnp.float32)
 
@@ -262,7 +378,7 @@ def _fused_rounds(
                 cflat,
             )
         else:
-            corr = corr_lookup_pyramid_flat(pyr, cflat)
+            corr = lookup(cflat)
         corr = corr.reshape(E, h8, w8, -1)
 
         nets, delta, weight, eta, upmask = apply_fn(
@@ -661,19 +777,97 @@ class FactorGraph:
 
     def update_lowmem(self, steps=8, itrs=2, EP=1e-7):
         """Global BA over all edges, chunked over source frames
-        (reference factor_graph.py:253-300)."""
+        (reference factor_graph.py:253-300).
+
+        TPU redesign: the per-chunk host loop becomes one scanned device
+        program per refresh (``_lowmem_refresh``) — the chunk tables are
+        built once per call, and each of the ``steps`` refreshes costs a
+        single dispatch with all edge state resident on-device.
+        """
         video = self.video
         t = video.counter
         s = 8  # source-frame chunk (reference :270)
+        nE = len(self.ii)
+        if nE == 0:
+            return
+        h8, w8 = video.h8, video.w8
 
+        # ---- host chunk tables, once per call (graph is fixed across steps)
+        # edges sorted by source frame; every s-frame band is one chunk
+        # (covers the full ii range — the reference iterates source frames)
+        order = np.argsort(self.ii, kind="stable")
+        ii_s = self.ii[order]
+        i_max = int(ii_s.max())
+        nC = i_max // s + 1
+        counts = np.zeros(nC, np.int64)
+        for i0 in range(0, i_max + 1, s):
+            counts[i0 // s] = np.count_nonzero((ii_s >= i0) & (ii_s < i0 + s))
+        EB = _round_up(max(int(counts.max()), 1), self.cfg.edge_bucket)
+
+        ii_ck = np.zeros((nC, EB), np.int32)
+        jj_ck = np.zeros((nC, EB), np.int32)
+        emask_ck = np.zeros((nC, EB), np.float32)
+        pos_ck = np.zeros((nC, EB), np.int64)  # edge index (sorted order)
+        frame_ck = np.full((nC, s), t, np.int32)  # sentinel = t (no edges)
+        kk_ck = np.zeros((nC, EB), np.int32)
+        ofs = 0
+        for c in range(nC):
+            n = int(counts[c])
+            sel = order[ofs : ofs + n]
+            ii_ck[c, :n] = self.ii[sel]
+            jj_ck[c, :n] = self.jj[sel]
+            emask_ck[c, :n] = 1.0
+            pos_ck[c, :n] = sel
+            kk_ck[c, :n] = self.ii[sel] - c * s
+            has = np.unique(self.ii[sel]) - c * s
+            frame_ck[c, has] = c * s + has
+            ofs += n
+        cams_ck = ((ii_ck == jj_ck) & video.stereo).astype(np.int32)
+        flat_idx = pos_ck.reshape(-1)
+        slots = np.nonzero(emask_ck.reshape(-1) > 0)[0]
+        take_back_np = np.empty(nE, np.int64)
+        take_back_np[flat_idx[slots]] = slots
+        flat_src = jnp.asarray(flat_idx)                    # chunk slot -> edge
+        take_back = jnp.asarray(take_back_np)               # edge -> flat slot
+
+        ii_ck = jnp.asarray(ii_ck)
+        jj_ck = jnp.asarray(jj_ck)
+        cams_ck = jnp.asarray(cams_ck)
+        kk_ck = jnp.asarray(kk_ck)
+        frame_ck = jnp.asarray(frame_ck)
+        emask_ck = jnp.asarray(emask_ck)
+
+        dummy_up = jnp.zeros((1, 1, 1))
         for step in range(steps):
-            # refresh motion features chunk by chunk
-            order = np.argsort(self.ii, kind="stable")
-            for i0 in range(0, int(self.jj.max()) + 1, s):
-                sel = order[(self.ii[order] >= i0) & (self.ii[order] < i0 + s)]
-                if len(sel) == 0:
-                    continue
-                self._update_chunk(sel)
+            nets_ck = self.net[flat_src].reshape(nC, EB, h8, w8, -1)
+            target_ck = self.target[flat_src].reshape(nC, EB, h8, w8, 2)
+            if self.upsample:
+                if video.disps_up is None:
+                    video.disps_up = jnp.zeros(
+                        (video.cfg.buffer, video.ht, video.wd), jnp.float32
+                    )
+                # sentinel frame id t scatters into the extra trailing row
+                ups = jnp.concatenate(
+                    [video.disps_up[:t], jnp.zeros((1, video.ht, video.wd))], 0
+                )
+            else:
+                ups = dummy_up
+
+            nets, target, weight, damping, ups = _lowmem_refresh(
+                self.update_apply, self.params,
+                video.poses[:t], video.disps[:t], ups,
+                video.intrinsics[:t], video.fmaps[:t], video.inps[:t],
+                nets_ck, target_ck, ii_ck, jj_ck, cams_ck, kk_ck,
+                frame_ck, emask_ck, video.damping[:t],
+                S=s, dtype=self.dtype, upsample=self.upsample,
+            )
+            flat = lambda x: x.reshape((nC * EB,) + x.shape[2:])
+            self.net = flat(nets)[take_back]
+            self.target = flat(target)[take_back]
+            self.weight = flat(weight)[take_back]
+            video.damping = video.damping.at[:t].set(damping)
+            if self.upsample:
+                video.disps_up = video.disps_up.at[:t].set(ups[:-1])
 
             # one dense BA over the whole window (reference :297)
             video.ba(
@@ -681,59 +875,6 @@ class FactorGraph:
                 iterations=itrs, lm=self.cfg.backend_lm, ep=self.cfg.backend_ep,
             )
             video.dirty[:t] = True
-
-    def _update_chunk(self, sel):
-        """Run the update op on a subset of edges (no BA)."""
-        video = self.video
-        n = len(sel)
-        n_pad = _round_up(n, self.cfg.edge_bucket)
-        ii_p = np.zeros(n_pad, np.int32)
-        jj_p = np.zeros(n_pad, np.int32)
-        ii_p[:n] = self.ii[sel]
-        jj_p[:n] = self.jj[sel]
-
-        t1_eff = int(ii_p[:n].max()) + 1
-        m0 = int(ii_p[:n].min())
-        MW = _round_up(t1_eff - m0, self.cfg.window_bucket)
-        m0 = max(0, t1_eff - MW)
-        kk = np.clip(ii_p - m0, 0, MW - 1).astype(np.int32)
-        cams = ((ii_p == jj_p) & video.stereo).astype(np.int32)
-
-        h8, w8 = video.h8, video.w8
-        sel_d = jnp.asarray(sel)
-        pad = n_pad - n
-        net_e = jnp.concatenate(
-            [self.net[sel_d], jnp.zeros((pad, h8, w8, 128), self.net.dtype)], 0
-        )
-        inp_e = video.inps[jnp.asarray(ii_p)]
-        target_e = jnp.concatenate(
-            [self.target[sel_d], jnp.zeros((pad, h8, w8, 2), jnp.float32)], 0
-        )
-
-        step_fn = (
-            _update_op_step_alt if self.cfg.use_altcorr_backend else _update_op_step
-        )
-        net, target, weight, eta, upmask, _ = step_fn(
-            self.update_apply, self.params,
-            video.poses, video.disps, video.intrinsics, video.fmaps,
-            net_e, inp_e, target_e,
-            jnp.asarray(ii_p), jnp.asarray(jj_p), jnp.asarray(cams),
-            jnp.asarray(kk), MW, dtype=self.dtype,
-        )
-
-        self.net = self.net.at[sel_d].set(net[:n])
-        self.target = self.target.at[sel_d].set(target[:n])
-        self.weight = self.weight.at[sel_d].set(weight[:n])
-
-        has_edge = np.zeros(MW, bool)
-        has_edge[self.ii[sel] - m0] = True
-        dwin = video.damping[m0 : m0 + MW]
-        dwin = jnp.where(jnp.asarray(has_edge)[:, None, None], eta, dwin)
-        video.damping = video.damping.at[m0 : m0 + MW].set(dwin)
-
-        if self.upsample:
-            ux = np.unique(self.ii[sel])
-            video.upsample(jnp.asarray(ux), upmask[jnp.asarray(ux - m0)].astype(jnp.float32))
 
     # ------------------------------------------------------- edge proposals
 

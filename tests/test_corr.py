@@ -275,3 +275,72 @@ class TestAltcorrBackendStep:
         for a, r in zip(alt[:3], ref[:3]):
             np.testing.assert_allclose(np.asarray(a), np.asarray(r),
                                        atol=0.05, rtol=0.05)
+
+
+class TestPallasCorrLookup:
+    def test_parity_vs_flat_lookup(self):
+        """The fused Pallas P-major lookup must match the XLA one-hot path
+        (channel order a*(2r+1)+b, zero outside the image, level-major) —
+        reference semantics from correlation_kernels.cu:19-70."""
+        import jax
+        import jax.numpy as jnp
+
+        from droid_slam_reserch_tpu.ops import corr as C
+        from droid_slam_reserch_tpu.ops.pallas_corr import (
+            corr_lookup_pmajor_pallas,
+        )
+
+        E, H, W, Ch = 2, 16, 24, 16
+        P = H * W
+        f1 = 0.3 * jax.random.normal(jax.random.PRNGKey(0), (E, H, W, Ch))
+        f2 = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (E, H, W, Ch))
+        base = jnp.stack(
+            jnp.meshgrid(jnp.arange(W, dtype=jnp.float32),
+                         jnp.arange(H, dtype=jnp.float32), indexing="xy"),
+            -1,
+        ).reshape(1, P, 2)
+        # include out-of-image coords to exercise the zero border
+        coords = jnp.broadcast_to(base, (E, P, 2)) + 4.0 * jax.random.normal(
+            jax.random.PRNGKey(2), (E, P, 2)
+        )
+
+        pyr = C.build_pyramid_flat(C.corr_volume_flat(f1, f2))
+        ref = np.asarray(C.corr_lookup_pyramid_flat(pyr, coords))
+        padded, meta = C.build_pyramid_pmajor(f1, f2)
+        out = np.asarray(
+            corr_lookup_pmajor_pallas(padded, meta, coords, block_p=128,
+                                      interpret=True)
+        )
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+    def test_odd_pixel_count_blocks(self):
+        """P not divisible by block_p falls back to a smaller divisor."""
+        import jax
+        import jax.numpy as jnp
+
+        from droid_slam_reserch_tpu.ops import corr as C
+        from droid_slam_reserch_tpu.ops.pallas_corr import (
+            corr_lookup_pmajor_pallas,
+        )
+
+        E, H, W, Ch = 1, 12, 20, 8  # P = 240
+        P = H * W
+        f1 = 0.3 * jax.random.normal(jax.random.PRNGKey(0), (E, H, W, Ch))
+        f2 = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (E, H, W, Ch))
+        coords = jnp.broadcast_to(
+            jnp.stack(
+                jnp.meshgrid(jnp.arange(W, dtype=jnp.float32),
+                             jnp.arange(H, dtype=jnp.float32), indexing="xy"),
+                -1,
+            ).reshape(1, P, 2),
+            (E, P, 2),
+        )
+        pyr = C.build_pyramid_flat(C.corr_volume_flat(f1, f2))
+        ref = np.asarray(C.corr_lookup_pyramid_flat(pyr, coords))
+        padded, meta = C.build_pyramid_pmajor(f1, f2)
+        out = np.asarray(
+            corr_lookup_pmajor_pallas(padded, meta, coords, block_p=256,
+                                      interpret=True)
+        )
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
