@@ -144,57 +144,44 @@ def main():
     jax.block_until_ready(p2)
     extra["frontend_keyframes_per_s"] = round(kf_iters / (time.perf_counter() - t0), 3)
 
-    # --- backend global BA at 500 keyframes: one altcorr-chunked motion
-    # refresh + dense BA sweep over a temporal+proximity graph (the
-    # update_lowmem inner step, reference factor_graph.py:253-300), plus
-    # device memory high-water if the runtime exposes it.
+    # --- backend global BA at 500 keyframes: one full update_lowmem step
+    # (scanned motion refresh over every edge + dense BA sweep) on a
+    # temporal r=2 graph — the real engine path (reference
+    # factor_graph.py:253-300), plus device memory high-water.
     if not small:
         try:
-            from droid_slam_reserch_tpu.engine.factor_graph import _update_op_step_alt
-            from droid_slam_reserch_tpu.ba.solver import ba_iterations
+            from droid_slam_reserch_tpu.engine.factor_graph import FactorGraph
+            from droid_slam_reserch_tpu.engine.video import Video
+
             T = 500
-            fmapsT = (0.1 * jax.random.normal(key, (T, 1, h8, w8, 128))).astype(fdt)
-            posesT = se3_exp(0.01 * jax.random.normal(key, (T, 6)))
-            dispsT = jnp.ones((T, h8, w8))
-            intrT = jnp.broadcast_to(intr, (T, 4))
-            iiT = np.concatenate([np.arange(T - 1), np.arange(T - 2)]).astype(np.int32)
-            jjT = np.concatenate([np.arange(1, T), np.arange(2, T)]).astype(np.int32)
-            EB = 64  # edge chunk
-            nE = len(iiT)
-            netsT = jnp.zeros((EB, h8, w8, 128), fdt)
-            inpsT = jnp.zeros((EB, h8, w8, 128), fdt)
-            targT = jnp.zeros((EB, h8, w8, 2))
+            buf = T + 24  # headroom for window bucketing past the counter
+            cfgT = DroidConfig(image_size=(h8 * 8, w8 * 8), buffer=buf,
+                               compute_dtype=dtype_str)
+            video = Video(cfgT)
+            video.counter = T
+            video.poses = video.poses.at[:T].set(
+                se3_exp(0.01 * jax.random.normal(key, (T, 6))))
+            video.disps = video.disps.at[:T].set(jnp.ones((T, h8, w8)))
+            video.intrinsics = video.intrinsics.at[:T].set(
+                jnp.broadcast_to(intr, (T, 4)))
+            video.fmaps = video.fmaps.at[:T].set(
+                (0.1 * jax.random.normal(key, (T, 1, h8, w8, 128))).astype(fdt))
+            video.inps = video.inps.at[:T].set(jnp.zeros((T, h8, w8, 128), fdt))
 
-            def chunk(i0):
-                sl = slice(i0, i0 + EB)
-                return _update_op_step_alt(
-                    applies["update"], params, posesT, dispsT, intrT, fmapsT,
-                    netsT, inpsT, targT,
-                    jnp.asarray(iiT[sl]), jnp.asarray(jjT[sl]),
-                    jnp.zeros(EB, jnp.int32), jnp.asarray(iiT[sl]), T,
-                    dtype=fdt,
-                )
+            iiT = np.concatenate([np.arange(T - 1), np.arange(T - 2)]).astype(np.int64)
+            jjT = np.concatenate([np.arange(1, T), np.arange(2, T)]).astype(np.int64)
+            graph = FactorGraph(video, applies["update"], params, dtype=fdt)
+            graph.ii, graph.jj = iiT, jjT
+            graph.age = np.zeros(len(iiT), np.int64)
+            graph.net = jnp.zeros((len(iiT), h8, w8, 128), fdt)
+            graph.target = jnp.zeros((len(iiT), h8, w8, 2))
+            graph.weight = jnp.zeros((len(iiT), h8, w8, 2))
 
-            outs = chunk(0)
-            jax.block_until_ready(outs[0])
+            graph.update_lowmem(steps=1, itrs=2)  # warmup/compile
+            np.asarray(video.poses)[0]
             t0 = time.perf_counter()
-            targets = np.zeros((nE, h8, w8, 2), np.float32)
-            weights = np.zeros((nE, h8, w8, 2), np.float32)
-            for i0 in range(0, nE - EB + 1, EB):
-                o = chunk(i0)
-                targets[i0:i0 + EB] = np.asarray(o[1])
-                weights[i0:i0 + EB] = np.asarray(o[2])
-            from droid_slam_reserch_tpu.ba.solver import schur_pairs as _sp
-            beT, bmT = _sp(iiT, T)
-            pT, dT = ba_iterations(
-                posesT, dispsT, intr, jnp.zeros((T, h8, w8)),
-                jnp.asarray(targets), jnp.asarray(weights),
-                1e-4 * jnp.ones((T, h8, w8)),
-                jnp.asarray(iiT), jnp.asarray(jjT),
-                jnp.arange(T) >= 1, jnp.asarray(beT), jnp.asarray(bmT),
-                iterations=2, lm=1e-5, ep=1e-2, min_depth=0.25,
-            )
-            jax.block_until_ready(pT)
+            graph.update_lowmem(steps=1, itrs=2)
+            np.asarray(video.poses)[0]
             extra["backend_ba_500kf_s"] = round(time.perf_counter() - t0, 3)
             try:
                 stats = jax.local_devices()[0].memory_stats() or {}
@@ -204,7 +191,7 @@ def main():
             except Exception:
                 pass
         except Exception as e:  # never let the extra metrics kill the bench
-            extra["backend_ba_error"] = type(e).__name__
+            extra["backend_ba_error"] = f"{type(e).__name__}: {e}"[:200]
 
     print(json.dumps({
         "metric": "frontend_update_iters_per_s",

@@ -138,7 +138,12 @@ def cmd_euroc(args):
         _save_trajectory(args.out, tstamps, traj)
 
     if args.gt:
-        gt = np.loadtxt(args.gt, delimiter=" ")
+        # EuRoC ships state_groundtruth_estimate0/data.csv (comma, ns
+        # stamps); processed TUM-style files are space-separated
+        with open(args.gt) as f:
+            head = f.readline()
+        delim = "," if head.count(",") > head.count(" ") else None
+        gt = np.loadtxt(args.gt, delimiter=delim, comments="#")[:, :8]
         est = np.concatenate(
             [np.asarray(tstamps)[:, None] * 1e-9, traj[:, :3], traj[:, 3:]], axis=1
         )
@@ -148,6 +153,9 @@ def cmd_euroc(args):
             est, gt, align=True, correct_scale=not args.stereo, max_dt=0.1
         )
         print(json.dumps({"ate": res}))
+        if args.out:
+            with open(args.out + ".ate.json", "w") as f:
+                json.dump(res, f)
 
 
 def cmd_tum(args):
@@ -201,6 +209,25 @@ def cmd_eth3d(args):
         iter([(x[0], x[1], x[-1]) for x in eth3d_stream(args.datapath, stride=args.stride)])
     )
     print(f"tracked {len(traj)} frames")
+
+    # ATE vs groundtruth.txt when present (the reference ships the eval
+    # commented out, test_eth3d.py:112-118; a new framework should report it)
+    gt_file = os.path.join(args.datapath, "groundtruth.txt")
+    if os.path.exists(gt_file):
+        from .data import eth3d_timestamps
+        from .eval import evaluate_ate
+
+        stamps = np.asarray(eth3d_timestamps(args.datapath, stride=args.stride))
+        n = min(len(stamps), len(traj))
+        est = np.concatenate(
+            [stamps[:n, None], traj[:n, :3], traj[:n, 3:]], axis=1
+        )
+        gt = np.loadtxt(gt_file, comments="#")
+        try:
+            res = evaluate_ate(est, gt, max_dt=0.1)
+            print(json.dumps({"ate": res}))
+        except ValueError as e:
+            print(json.dumps({"ate_error": str(e)}))
 
 
 def _tartanair_one(cfg, scenedir, gt_file, stereo, stride):
@@ -268,11 +295,31 @@ def cmd_tartanair(args):
 
 
 def cmd_view(args):
-    """Export a saved reconstruction as a PLY point cloud (vis_*.py analog)."""
+    """Export saved reconstruction(s) as a PLY point cloud.
+
+    Multiple --reconstruction paths produce one fused cloud; with
+    --color_by_session each map's points are tinted a distinct hue, the
+    multi-map viewer behavior of the reference (vis_two.py:1-122,
+    s_visualization.py:42-65 hsv session colors)."""
+    import colorsys
+
     from .viz import export_ply, reconstruction_pointcloud
 
-    state = dict(np.load(args.reconstruction, allow_pickle=True))
-    pts, cols = reconstruction_pointcloud(state)
+    paths = args.reconstruction
+    all_pts, all_cols = [], []
+    for i, path in enumerate(paths):
+        state = dict(np.load(path, allow_pickle=True))
+        pts, cols = reconstruction_pointcloud(state)
+        if args.color_by_session and len(paths) > 1:
+            tint = np.asarray(
+                colorsys.hsv_to_rgb(i / max(len(paths), 1), 1.0, 1.0)
+            )
+            cols = 0.4 * cols + 0.6 * tint[None]
+        all_pts.append(pts)
+        all_cols.append(cols)
+        print(f"{path}: {len(pts)} points")
+    pts = np.concatenate(all_pts, axis=0)
+    cols = np.concatenate(all_cols, axis=0)
     export_ply(args.out, pts, cols)
     print(f"wrote {len(pts)} points to {args.out}")
 
@@ -613,8 +660,11 @@ def main(argv=None):
     p.set_defaults(fn=cmd_tartanair)
 
     p = sub.add_parser("view")
-    p.add_argument("--reconstruction", required=True, help="reconstruction.npz")
+    p.add_argument("--reconstruction", required=True, nargs="+",
+                   help="one or more reconstruction.npz (multi-map fusion)")
     p.add_argument("--out", default="cloud.ply")
+    p.add_argument("--color_by_session", action="store_true",
+                   help="tint each map a distinct hue (reference vis_two.py)")
     p.set_defaults(fn=cmd_view)
 
     p = sub.add_parser("multisession")

@@ -9,7 +9,7 @@ is [H, W, 3] uint8 BGR (or [2, H, W, 3] stereo) and intrinsics is [4]
 from .streams import generic_image_stream, resize_to_area
 from .euroc import euroc_stream, EUROC_INTRINSICS
 from .tum import tum_stream
-from .eth3d import eth3d_stream
+from .eth3d import eth3d_stream, eth3d_timestamps
 from .tartan import tartan_stream, TartanAir
 from .base import RGBDDataset
 from .augmentation import RGBDAugmentor

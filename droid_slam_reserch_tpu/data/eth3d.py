@@ -31,3 +31,18 @@ def eth3d_stream(datapath, use_depth=False, stride=1):
             yield t, image, depth.astype(np.float32), intr
         else:
             yield t, image, intr
+
+
+def eth3d_timestamps(datapath, stride=1):
+    """Frame timestamps parsed from the rgb filenames (<stamp>.png)."""
+    image_list = sorted(glob.glob(os.path.join(datapath, "rgb", "*.png")))
+    if not image_list:
+        image_list = sorted(glob.glob(os.path.join(datapath, "color", "*.jpg")))
+    out = []
+    for f in image_list[::stride]:
+        stem = os.path.splitext(os.path.basename(f))[0]
+        try:
+            out.append(float(stem))
+        except ValueError:
+            out.append(float(len(out)))
+    return out

@@ -23,7 +23,12 @@ def init_params(config, seed=0):
     Random init goes submodule-by-submodule (fnet/cnet/update) so no BA/corr
     graph gets traced just to create parameters.
     """
-    if config.weights and os.path.exists(config.weights):
+    if config.weights:
+        if not os.path.exists(config.weights):
+            raise FileNotFoundError(
+                f"weights checkpoint not found: {config.weights} "
+                "(refusing to silently run with random weights)"
+            )
         if config.weights.endswith((".pth", ".pt")):
             return load_torch_checkpoint(config.weights)["params"]
         data = np.load(config.weights, allow_pickle=True)

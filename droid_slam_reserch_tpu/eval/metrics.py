@@ -84,10 +84,19 @@ def evaluate_ate(est_traj, gt_traj, align=True, correct_scale=False, max_dt=0.02
         j = int(np.argmin(np.abs(ts_g - t)))
         if abs(ts_g[j] - t) < max_dt:
             matches.append((i, j))
+    association = "timestamp"
     if len(matches) < 3:
-        # fall back to index association when stamps are incompatible
-        n = min(len(ts_e), len(ts_g))
-        matches = list(zip(range(n), range(n)))
+        # stamps are incompatible: index association is only well-defined
+        # when the trajectories correspond frame-for-frame — anything else
+        # would silently return a plausible-looking ATE for a
+        # misassociation, so refuse instead
+        if len(ts_e) != len(ts_g):
+            raise ValueError(
+                f"trajectory association failed: {len(matches)} timestamp "
+                f"matches and unequal lengths ({len(ts_e)} vs {len(ts_g)})"
+            )
+        association = "index"
+        matches = list(zip(range(len(ts_e)), range(len(ts_g))))
 
     ie, ig = map(np.asarray, zip(*matches))
     est = xyz_e[ie]
@@ -96,6 +105,7 @@ def evaluate_ate(est_traj, gt_traj, align=True, correct_scale=False, max_dt=0.02
     err = np.linalg.norm(est_aligned - gt, axis=1)
     return {
         "rmse": rmse,
+        "association": association,
         "mean": float(err.mean()),
         "median": float(np.median(err)),
         "std": float(err.std()),

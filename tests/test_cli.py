@@ -47,3 +47,56 @@ def test_demo_cli_end_to_end(tmp_path):
     assert ply.exists()
     header = ply.read_text().splitlines()[:8]
     assert header[0] == "ply"
+
+
+def test_view_multi_map_colored(tmp_path):
+    """Multi-map per-session-colored export (reference vis_two.py)."""
+    rng = np.random.RandomState(0)
+    paths = []
+    for s in range(2):
+        state = {
+            "poses": np.tile([0, 0, 0, 0, 0, 0, 1.0], (3, 1)).astype(np.float32),
+            "disps": np.full((3, 8, 12), 0.8, np.float32),
+            "images": rng.randint(0, 255, (3, 64, 96, 3), dtype=np.uint8),
+            "intrinsics": np.tile([10.0, 10.0, 6.0, 4.0], (3, 1)).astype(np.float32),
+        }
+        p = tmp_path / f"recon{s}.npz"
+        np.savez(p, **state)
+        paths.append(str(p))
+
+    ply = tmp_path / "fused.ply"
+    main(["view", "--reconstruction", *paths, "--color_by_session",
+          "--out", str(ply)])
+    text = ply.read_text().splitlines()
+    n = int([l for l in text if l.startswith("element vertex")][0].split()[-1])
+    assert n > 0
+
+
+DROID_WEIGHTS = os.environ.get("DROID_WEIGHTS", "/root/data/droid.pth")
+EUROC_SEQ = os.environ.get("EUROC_SEQ", "/root/data/euroc/MH_01_easy/mav0")
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not (os.path.exists(DROID_WEIGHTS) and os.path.exists(EUROC_SEQ)),
+    reason="real weights/dataset not in image (set DROID_WEIGHTS / EUROC_SEQ)",
+)
+def test_euroc_real_weights_ate(tmp_path):
+    """The reference's acceptance protocol: EuRoC mono ATE with droid.pth
+    (reference evaluation_scripts/test_euroc.py:123-145).  Runs whenever the
+    weights + a sequence are mounted; asserts ATE below 0.10 m (paper-level
+    is ~0.02 m; the bound catches gross regressions while tolerating
+    stride/config variation)."""
+    import json as _json
+
+    out = tmp_path / "traj.txt"
+    main([
+        "euroc", "--datapath", EUROC_SEQ, "--weights", DROID_WEIGHTS,
+        "--gt", os.path.join(os.path.dirname(EUROC_SEQ), "state_groundtruth_estimate0.csv"),
+        "--stride", "2", "--out", str(out),
+    ])
+    res = _json.loads((tmp_path / "traj.txt.ate.json").read_text()) \
+        if (tmp_path / "traj.txt.ate.json").exists() else None
+    assert out.exists()
+    if res is not None:
+        assert res["rmse"] < 0.10
