@@ -12,6 +12,7 @@ Conventions (identical to the reference kernel):
 - stereo self-edges (ii == jj) contribute **only** depth terms; their pose
   Jacobian contributions are zeroed (:323,356)
 """
+import jax
 import jax.numpy as jnp
 
 from ..geom.projective import projective_transform
@@ -63,19 +64,26 @@ def build_system_blocks(
 
     Jz0 = Jz[..., 0]                         # [B,N,H,W,2]
 
+    # HIGHEST precision: with the default single-bf16-pass MXU matmul these
+    # contractions leave ~3e-3 relative error in the GN blocks on TPU
+    # (measured on v5e vs a CPU fp32 oracle); the outputs are tiny so the
+    # extra passes cost nothing.
+    _hi = jax.lax.Precision.HIGHEST
+
     def hblock(Ja, Jb):
-        return jnp.einsum("bnhwcx,bnhwc,bnhwcy->bnxy", Ja, wp, Jb)
+        return jnp.einsum("bnhwcx,bnhwc,bnhwcy->bnxy", Ja, wp, Jb,
+                          precision=_hi)
 
     Hii = hblock(Ji, Ji)
     Hij = hblock(Ji, Jj)
     Hjj = hblock(Jj, Jj)
     Hji = jnp.swapaxes(Hij, -1, -2)
 
-    vi = jnp.einsum("bnhwcx,bnhwc,bnhwc->bnx", Ji, wp, r)
-    vj = jnp.einsum("bnhwcx,bnhwc,bnhwc->bnx", Jj, wp, r)
+    vi = jnp.einsum("bnhwcx,bnhwc,bnhwc->bnx", Ji, wp, r, precision=_hi)
+    vj = jnp.einsum("bnhwcx,bnhwc,bnhwc->bnx", Jj, wp, r, precision=_hi)
 
-    Ei = jnp.einsum("bnhwcx,bnhwc,bnhwc->bnxhw", Ji, wp, Jz0).reshape(B, N, -1, HW)
-    Ej = jnp.einsum("bnhwcx,bnhwc,bnhwc->bnxhw", Jj, wp, Jz0).reshape(B, N, -1, HW)
+    Ei = jnp.einsum("bnhwcx,bnhwc,bnhwc->bnxhw", Ji, wp, Jz0, precision=_hi).reshape(B, N, -1, HW)
+    Ej = jnp.einsum("bnhwcx,bnhwc,bnhwc->bnxhw", Jj, wp, Jz0, precision=_hi).reshape(B, N, -1, HW)
 
     # depth terms keep full weight on stereo self-edges (droid_kernels.cu:320-321)
     Ck = jnp.einsum("bnhwc,bnhwc->bnhw", w, Jz0 * Jz0).reshape(B, N, HW)

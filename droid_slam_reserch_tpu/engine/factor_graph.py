@@ -24,7 +24,6 @@ from ..geom import projective_transform, coords_grid
 from ..ops.corr import (
     altcorr_pyramid,
     build_pyramid_flat,
-    build_pyramid_pmajor,
     corr_lookup_pyramid_flat,
     corr_lookup_windows,
     corr_volume_flat,
@@ -34,7 +33,11 @@ from ..ops.corr import (
     window_bases,
     window_drift_ok,
 )
-from ..ops.pallas_corr import corr_lookup_pmajor_pallas
+from ..utils.config import resolve_pallas_ba
+from ..ops.pallas_corr import (
+    corr_build_pmajor_pallas,
+    corr_lookup_blocked_pallas,
+)
 
 
 import os as _os
@@ -60,10 +63,12 @@ def _build_corr_lookup(f1, f2, dtype):
     """Build the per-keyframe correlation pyramid; returns lookup(cflat
     [E,P,2]) -> [E,P,L*49] using the configured implementation."""
     if _corr_impl() == "pallas":
-        padded, pmeta = build_pyramid_pmajor(f1, f2, dtype=dtype)
         interp = jax.devices()[0].platform == "cpu"
-        return lambda cflat: corr_lookup_pmajor_pallas(
-            padded, pmeta, cflat, interpret=interp
+        levels, pmeta, _ = corr_build_pmajor_pallas(
+            f1, f2, dtype=dtype, interpret=interp
+        )
+        return lambda cflat: corr_lookup_blocked_pallas(
+            levels, pmeta, cflat, interpret=interp
         )
     pyr = build_pyramid_flat(corr_volume_flat(f1, f2, dtype=dtype))
     return lambda cflat: corr_lookup_pyramid_flat(pyr, cflat)
@@ -724,7 +729,7 @@ class FactorGraph:
             rounds=rounds, ba_iters=itrs,
             lm=cfg.frontend_lm, ep=cfg.frontend_ep,
             damping_eps=cfg.damping_eps, min_depth=cfg.min_depth,
-            dtype=self.dtype, use_pallas=cfg.use_pallas_ba,
+            dtype=self.dtype, use_pallas=resolve_pallas_ba(cfg),
         )
 
         video.poses = video.poses.at[sl].set(poses)

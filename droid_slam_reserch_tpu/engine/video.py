@@ -17,6 +17,7 @@ import numpy as np
 from ..ba.solver import ba_solve, schur_pairs
 from ..geom import frame_distance, projective_transform
 from ..lie import se3_identity
+from ..utils.config import resolve_pallas_ba
 from ..models.update import cvx_upsample
 
 
@@ -254,7 +255,7 @@ class Video:
             jnp.asarray(ii_l), jnp.asarray(jj_l), jnp.asarray(free),
             jnp.asarray(be), jnp.asarray(bm),
             iterations=iterations, lm=lm, ep=ep, motion_only=motion_only,
-            min_depth=cfg.min_depth, use_pallas=cfg.use_pallas_ba,
+            min_depth=cfg.min_depth, use_pallas=resolve_pallas_ba(cfg),
         )
         disps_w = jnp.maximum(disps_w, 0.001)  # reference depth_video.py:204
         self.poses = _set_range(self.poses, m0, poses_w)

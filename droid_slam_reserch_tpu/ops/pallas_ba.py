@@ -8,9 +8,12 @@ pose Hessian block, 12-vector rhs, pose-depth couplings, and depth diagonal
 — the [N, HW, 2, 6] Jacobian tensors the pure-XLA path materializes
 (ba/system.py) never exist.
 
-Inputs are pre-gathered per edge on the XLA side (relative poses as rotation
-matrices + translations, source-frame disparities); all per-pixel math is
-VPU elementwise, and the J^T W J reductions are small MXU matmuls.
+Layout (the part Mosaic cares about): every per-pixel quantity lives in a
+[1, HW] row — pixels on LANES — so there is never a sublane<->lane shape
+cast (a [H, W] -> [HW, 1] reshape is unsupported on TPU).  The 12 Jacobian
+components are written as rows of a [16, HW] VMEM scratch, and the J^T W J
+reductions contract the lane dimension on the MXU.  Scalar edge parameters
+ride in SMEM.
 
 Conventions identical to ba/system.py / the CUDA kernel: 0.001 weight scale,
 zero weight behind min_depth, pose terms zeroed on stereo self-edges while
@@ -24,24 +27,27 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(params_ref, disps_ref, target_ref, weight_ref,
-            H_ref, v_ref, E_ref, C_ref, w_ref, *, HP, WP):
-    p = params_ref[0, 0]  # [24]: R(9), t(3), fx, fy, cx, cy, pose_mask,
-    #                             min_depth, w_scale (scalars ride the params
-    #                             vector so they may be jit tracers)
-    R00, R01, R02 = p[0], p[1], p[2]
-    R10, R11, R12 = p[3], p[4], p[5]
-    R20, R21, R22 = p[6], p[7], p[8]
-    tx, ty, tz = p[9], p[10], p[11]
-    fx, fy, cx, cy = p[12], p[13], p[14], p[15]
-    pose_mask = p[16]
-    min_depth = p[17]
-    w_scale = p[18]
+def _kernel(params_ref, uv_ref, disps_ref, target_ref, weight_ref,
+            H_ref, v_ref, E_ref, C_ref, w_ref, jx_s, jy_s):
+    """One edge: params_ref SMEM [1,1,24]; uv_ref [1,2,HW] pixel grid;
+    disps_ref [1,1,HW]; target/weight [1,2,HW]; outputs H [1,16,16],
+    v [1,1,16], E [1,16,HW], C/w [1,1,HW]; jx_s/jy_s [16,HW] scratch."""
 
-    d_i = disps_ref[0]          # [H, W]
-    # Mosaic only lowers integer iota; convert to f32 after
-    u = jax.lax.broadcasted_iota(jnp.int32, (HP, WP), 1).astype(jnp.float32)
-    v = jax.lax.broadcasted_iota(jnp.int32, (HP, WP), 0).astype(jnp.float32)
+    def P(k):
+        return params_ref[0, 0, k]
+
+    R00, R01, R02 = P(0), P(1), P(2)
+    R10, R11, R12 = P(3), P(4), P(5)
+    R20, R21, R22 = P(6), P(7), P(8)
+    tx, ty, tz = P(9), P(10), P(11)
+    fx, fy, cx, cy = P(12), P(13), P(14), P(15)
+    pose_mask = P(16)
+    min_depth = P(17)
+    w_scale = P(18)
+
+    u = uv_ref[0, 0:1, :]     # [1, HW]
+    v = uv_ref[0, 1:2, :]
+    d_i = disps_ref[0, 0:1, :]
 
     X = (u - cx) / fx
     Y = (v - cy) / fy
@@ -56,14 +62,14 @@ def _kernel(params_ref, disps_ref, target_ref, weight_ref,
     dz = jnp.where(valid, 1.0 / jnp.where(valid, z1, 1.0), 0.0)
     d2 = dz * dz
 
-    wu = jnp.where(valid, w_scale * weight_ref[0, 0], 0.0)
-    wv = jnp.where(valid, w_scale * weight_ref[0, 1], 0.0)
-    ru = target_ref[0, 0] - (fx * x1 * dz + cx)
-    rv = target_ref[0, 1] - (fy * y1 * dz + cy)
+    wu = jnp.where(valid, w_scale * weight_ref[0, 0:1, :], 0.0)
+    wv = jnp.where(valid, w_scale * weight_ref[0, 1:2, :], 0.0)
+    ru = target_ref[0, 0:1, :] - (fx * x1 * dz + cx)
+    rv = target_ref[0, 1:2, :] - (fy * y1 * dz + cy)
 
     zero = jnp.zeros_like(dz)
 
-    def row_terms(f, a1, a2, which_x):
+    def row_terms(f, which_x):
         """Jacobians for one residual row (x: which_x=1, y: 0)."""
         if which_x:
             Jj = [f * h * dz, zero, -f * x1 * h * d2,
@@ -75,7 +81,7 @@ def _kernel(params_ref, disps_ref, target_ref, weight_ref,
             Jz = f * (ty * dz - tz * y1 * d2)
         # Ji = -AdjT(Gij) Jj  (droid_kernels.cu:79-94 with u = a_lin x t)
         al0, al1, al2 = Jj[0], Jj[1], Jj[2]
-        aa0 = Jj[3] + (al1 * tz - al2 * ty)  # a_ang - t x a_lin = a_ang + a_lin x t
+        aa0 = Jj[3] + (al1 * tz - al2 * ty)
         aa1 = Jj[4] + (al2 * tx - al0 * tz)
         aa2 = Jj[5] + (al0 * ty - al1 * tx)
         Ji = [
@@ -88,42 +94,46 @@ def _kernel(params_ref, disps_ref, target_ref, weight_ref,
         ]
         return Ji + Jj, Jz
 
-    def stack16(J12):
-        """[HW, 16] Jacobian matrix (12 tangent cols padded to 16)."""
-        return jnp.stack(J12 + [zero, zero, zero, zero], axis=-1).reshape(HP * WP, 16)
-
-    Jx12, Jzx = row_terms(fx, None, None, 1)
-    Jy12, Jzy = row_terms(fy, None, None, 0)
+    Jx12, Jzx = row_terms(fx, 1)
+    Jy12, Jzy = row_terms(fy, 0)
 
     # depth diagonal + rhs keep full (unmasked) weight
-    C_ref[0] = wu * Jzx * Jzx + wv * Jzy * Jzy
-    w_ref[0] = wu * ru * Jzx + wv * rv * Jzy
+    C_ref[0, 0:1, :] = wu * Jzx * Jzx + wv * Jzy * Jzy
+    w_ref[0, 0:1, :] = wu * ru * Jzx + wv * rv * Jzy
+
+    # fill the [16, HW] Jacobian matrices row by row (no shape casts)
+    for k in range(12):
+        jx_s[k : k + 1, :] = Jx12[k]
+        jy_s[k : k + 1, :] = Jy12[k]
+    for k in range(12, 16):
+        jx_s[k : k + 1, :] = zero
+        jy_s[k : k + 1, :] = zero
 
     # pose terms use the stereo-masked weight
     wpu = wu * pose_mask
     wpv = wv * pose_mask
-    Jx = stack16(Jx12)
-    Jy = stack16(Jy12)
+    Jx = jx_s[:]
+    Jy = jy_s[:]
 
+    # H = J^T W J and v = J^T W r, contracting the lane (pixel) dim on MXU.
+    # HIGHEST precision: the default single-bf16-pass f32 matmul leaves
+    # ~4e-3 relative error in the Hessian blocks (measured on v5e), which a
+    # damped GN iteration amplifies; the 16x16 outputs make the extra
+    # passes free.
+    lanes = (((1,), (1,)), ((), ()))
+    hi = jax.lax.Precision.HIGHEST
     H_ref[0] = jax.lax.dot_general(
-        Jx * wpu.reshape(-1, 1), Jx, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        Jx * wpu, Jx, lanes, preferred_element_type=jnp.float32, precision=hi
     ) + jax.lax.dot_general(
-        Jy * wpv.reshape(-1, 1), Jy, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        Jy * wpv, Jy, lanes, preferred_element_type=jnp.float32, precision=hi
     )
     v_ref[0] = jax.lax.dot_general(
-        (wpu * ru).reshape(1, -1), Jx, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        wpu * ru, Jx, lanes, preferred_element_type=jnp.float32, precision=hi
     ) + jax.lax.dot_general(
-        (wpv * rv).reshape(1, -1), Jy, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        wpv * rv, Jy, lanes, preferred_element_type=jnp.float32, precision=hi
     )
-    # pose-depth coupling: E[k, :] = sum_rows wp * Jz * J[:, k]
-    E_ref[0] = (
-        jnp.swapaxes(Jx, 0, 1) * (wpu * Jzx).reshape(1, -1)
-        + jnp.swapaxes(Jy, 0, 1) * (wpv * Jzy).reshape(1, -1)
-    )
+    # pose-depth coupling: E[k, :] = wp * Jz * J[k, :]
+    E_ref[0] = Jx * (wpu * Jzx) + Jy * (wpv * Jzy)
 
 
 def build_system_blocks_pallas(
@@ -152,34 +162,44 @@ def build_system_blocks_pallas(
             jnp.zeros((N, 5), jnp.float32),
         ],
         axis=1,
-    ).reshape(N, 1, 24)  # [N, 1, 24] (TPU block tiling needs 2D-compatible trailing dims)
+    ).reshape(N, 1, 24)
 
-    kernel = functools.partial(_kernel, HP=H, WP=W)
+    # pixel grid as a [1, 2, HW] input: no in-kernel iota, pixels on lanes
+    u = jnp.tile(jnp.arange(W, dtype=jnp.float32), (H,))
+    v = jnp.repeat(jnp.arange(H, dtype=jnp.float32), W)
+    uv = jnp.stack([u, v], axis=0).reshape(1, 2, HW)
+
     Hb, vb, Eb, Cb, wb = pl.pallas_call(
-        kernel,
+        _kernel,
         grid=(N,),
         in_specs=[
-            pl.BlockSpec((1, 1, 24), lambda e: (e, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, W), lambda e: (e, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, H, W), lambda e: (e, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, H, W), lambda e: (e, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 24), lambda e: (e, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2, HW), lambda e: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, HW), lambda e: (e, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, HW), lambda e: (e, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, HW), lambda e: (e, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, 16, 16), lambda e: (e, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 16), lambda e: (e, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 16, HW), lambda e: (e, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, W), lambda e: (e, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, W), lambda e: (e, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, HW), lambda e: (e, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, HW), lambda e: (e, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((N, 16, 16), jnp.float32),
             jax.ShapeDtypeStruct((N, 1, 16), jnp.float32),
             jax.ShapeDtypeStruct((N, 16, HW), jnp.float32),
-            jax.ShapeDtypeStruct((N, H, W), jnp.float32),
-            jax.ShapeDtypeStruct((N, H, W), jnp.float32),
+            jax.ShapeDtypeStruct((N, 1, HW), jnp.float32),
+            jax.ShapeDtypeStruct((N, 1, HW), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((16, HW), jnp.float32),
+            pltpu.VMEM((16, HW), jnp.float32),
         ],
         interpret=interpret,
-    )(params, disps_i, target, weight)
+    )(params, uv, disps_i.reshape(N, 1, HW), target.reshape(N, 2, HW),
+      weight.reshape(N, 2, HW))
 
     v12 = vb[:, 0, :12]
     return {

@@ -78,6 +78,11 @@ def partition_edges(ii, jj, target, weight, MW, n_shards, edge_bucket=8):
     return ii_s, jj_s, tgt_s, wgt_s, be_s, bm_s
 
 
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "axis", "iterations", "lm", "ep", "alpha",
+                     "min_depth"),
+)
 def dist_ba_solve(
     mesh,
     poses,
@@ -102,6 +107,10 @@ def dist_ba_solve(
     """Distributed windowed BA.  poses/disps/eta/free_mask are replicated
     [MW, ...]; *_s arrays carry a leading shard axis from partition_edges.
     Returns updated (poses, disps), replicated.
+
+    The whole solve (shard_map + iteration loop) is one jitted program —
+    shard_map outside jit would execute op-by-op (measured 24x slower on the
+    virtual mesh) and retrace on every call.
     """
     MW = poses.shape[0]
     n_shards = mesh.devices.size
@@ -118,6 +127,10 @@ def dist_ba_solve(
         mesh=mesh,
         in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P()),
         out_specs=(P(), P(axis)),
+        # the pose system is rebuilt identically on every shard from
+        # all_gathered blocks; the varying-axes checker cannot infer that
+        # all_gather outputs are replicated, so the check is disabled
+        check_vma=False,
     )
     def one_iteration(poses, disps, target, weight, ii, jj, bucket_edges, bucket_mask, eta_r):
         """target/weight/ii/jj/bucket_*: local shard slices (leading axis 1)."""
@@ -138,17 +151,21 @@ def dist_ba_solve(
         Ei, Ej = blk["Ei"][0], blk["Ej"][0]
         Ck, wk = blk["Ck"][0], blk["wk"][0]
 
-        ok = jnp.ones_like(ii, dtype=bool)
-        Hmat = (
-            _scatter_blocks(Hii, ii, ii, ok, MW)
-            + _scatter_blocks(Hij, ii, jj, ok, MW)
-            + _scatter_blocks(Hji, jj, ii, ok, MW)
-            + _scatter_blocks(Hjj, jj, jj, ok, MW)
+        # cross-device exchange of the pose system in BLOCK-SPARSE form:
+        # all_gather the per-edge 6x6 blocks (+ indices) and scatter after —
+        # ~144 B/edge on the wire instead of psum'ing the dense
+        # [MW, MW, 6, 6] Hessian (37.8 MB at MW=512), which does not scale
+        # past a few hundred keyframes replicated per device.
+        blocks = jnp.stack([Hii, Hij, Hji, Hjj], 0)      # [4, nE, 6, 6]
+        bi = jnp.stack([ii, ii, jj, jj], 0)
+        bj = jnp.stack([ii, jj, ii, jj], 0)
+        blocks_g = jax.lax.all_gather(blocks, axis)       # [S, 4, nE, 6, 6]
+        bi_g = jax.lax.all_gather(bi, axis)
+        bj_g = jax.lax.all_gather(bj, axis)
+        Hmat = _scatter_blocks(
+            blocks_g, bi_g, bj_g, jnp.ones(bi_g.shape, bool), MW
         )
         v = jnp.zeros((MW, 6)).at[ii].add(vi).at[jj].add(vj)
-
-        # the only cross-device reduction: the pose system
-        Hmat = jax.lax.psum(Hmat, axis)
         v = jax.lax.psum(v, axis) * free[:, None]
         A_pose = _mask_fixed(_pose_matrix(Hmat, MW), free6)
         v_flat = v.reshape(6 * MW)
@@ -180,7 +197,6 @@ def dist_ba_solve(
         GQ = G * Q[:, None, None, :]
         Sk = jnp.einsum("mrah,msbh->mrsab", GQ, G, preferred_element_type=jnp.float32)
         pair_ok = row_ok[:, :, None] & row_ok[:, None, :]
-        S = _scatter_blocks(Sk, pose_idx[:, :, None], pose_idx[:, None, :], pair_ok, MW)
         Ew = jnp.where(row_ok[..., None], jnp.einsum("mrah,mh->mra", GQ, w), 0.0)
         vE = (
             jnp.zeros((MW + 1, 6))
@@ -188,7 +204,14 @@ def dist_ba_solve(
             .add(Ew.reshape(-1, 6))
         )[:MW]
 
-        S = jax.lax.psum(S, axis)
+        # same block-sparse exchange for the Schur blocks: gather the
+        # compact [mw_local, R+1, R+1, 6, 6] tensors, scatter once
+        Sk_g = jax.lax.all_gather(Sk, axis)
+        pi_g = jax.lax.all_gather(pose_idx, axis)
+        ok_g = jax.lax.all_gather(pair_ok, axis)
+        S = _scatter_blocks(
+            Sk_g, pi_g[..., :, None], pi_g[..., None, :], ok_g, MW
+        )
         vE = jax.lax.psum(vE, axis)
 
         S_pose = A_pose - _pose_matrix(S, MW)

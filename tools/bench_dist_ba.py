@@ -53,7 +53,18 @@ def main():
 
     ii = np.concatenate([np.arange(MW - 1), np.arange(MW - 2)]).astype(np.int32)
     jj = np.concatenate([np.arange(1, MW), np.arange(2, MW)]).astype(np.int32)
-    target = np.random.RandomState(0).standard_normal((len(ii), h8, w8, 2)).astype(np.float32)
+    # well-conditioned targets (GT reprojection + noise) so the single- vs
+    # multi-shard parity delta measures the partitioning, not chaotic
+    # divergence of an unsolvable random problem
+    from droid_slam_reserch_tpu.geom import projective_transform
+
+    intrT = jnp.broadcast_to(intr, (MW, 4))
+    coords, _ = projective_transform(
+        poses[None], disps[None], intrT[None], jnp.asarray(ii), jnp.asarray(jj)
+    )
+    target = np.asarray(coords[0]) + 0.2 * np.random.RandomState(0).standard_normal(
+        (len(ii), h8, w8, 2)
+    ).astype(np.float32)
     weight = 0.5 * np.ones((len(ii), h8, w8, 2), np.float32)
 
     iters = 2
