@@ -56,12 +56,32 @@ def schur_pairs(ii, num_buckets, max_deg=None):
     return edges, mask
 
 
+_ONEHOT_SCATTER_MAX = 64  # window size bound for the one-hot formulation
+
+
 def _scatter_blocks(vals, pi, pj, valid, P):
-    """Scatter-add [..., 6, 6] blocks into dense [P, P, 6, 6]."""
+    """Scatter-add [..., 6, 6] blocks into dense [P, P, 6, 6].
+
+    Small windows (the frontend's MW <= 48) use a one-hot MXU contraction —
+    TPU scatter-adds lower to serialized updates and dominate the BA step
+    (~1 ms/solve measured on v5e); the einsum is a single fused matmul.
+    Large windows (global backend) keep the scatter: the [K, P*P] one-hot
+    would be gigabytes at 500 keyframes.
+    """
     idx = jnp.where(valid, pi * P + pj, P * P)
-    flat_vals = jnp.where(valid[..., None, None], vals, 0.0)
+    flat_idx = idx.reshape(-1)
+    flat_vals = jnp.where(valid[..., None, None], vals, 0.0).reshape(-1, 6, 6)
+    if P <= _ONEHOT_SCATTER_MAX:
+        onehot = (
+            flat_idx[:, None] == jnp.arange(P * P, dtype=flat_idx.dtype)
+        ).astype(flat_vals.dtype)
+        out = jnp.einsum(
+            "kq,kab->qab", onehot, flat_vals,
+            preferred_element_type=jnp.float32,
+        )
+        return out.reshape(P, P, 6, 6)
     out = jnp.zeros((P * P + 1, 6, 6), vals.dtype)
-    out = out.at[idx.reshape(-1)].add(flat_vals.reshape(-1, 6, 6))
+    out = out.at[flat_idx].add(flat_vals)
     return out[: P * P].reshape(P, P, 6, 6)
 
 

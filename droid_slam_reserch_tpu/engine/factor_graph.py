@@ -36,19 +36,24 @@ from ..ops.corr import (
 from ..utils.config import resolve_pallas_ba
 from ..ops.pallas_corr import (
     corr_build_pmajor_pallas,
+    corr_build_windows_pallas,
     corr_lookup_blocked_pallas,
+    corr_lookup_windows_pallas,
+    window_drift_ok_pallas,
 )
 
 
 import os as _os
 
 # Correlation lookup implementation for the frontend hot path:
-#   pallas  — fused Pallas kernel over the P-major volume (default on TPU;
-#             3.7 ms/round vs 21.4 ms for the XLA one-hot path at EuRoC
-#             scale on v5e — see tools/profile_frontend.py)
-#   flat    — XLA one-hot interpolation-matrix matmuls (default on CPU,
-#             where Pallas would run interpreted)
-#   windows — per-keyframe cached 24x24 windows (measured slower on v5e)
+#   pallas        — fused Pallas build + per-keyframe cached 24x24 windows
+#                   with a drift-guarded exact fallback (default on TPU)
+#   pallas_nowin  — fused Pallas build + full blocked lookup every round
+#                   (3.7 ms/round vs 21.4 ms for the XLA one-hot path at
+#                   EuRoC scale on v5e — see tools/profile_frontend.py)
+#   flat          — XLA one-hot interpolation-matrix matmuls (default on
+#                   CPU, where Pallas would run interpreted)
+#   windows       — the old pure-XLA cached-window path (slower on v5e)
 _CORR_IMPL = _os.environ.get("DROID_CORR", "auto")
 _USE_CORR_WINDOWS = _CORR_IMPL == "windows"
 
@@ -62,7 +67,7 @@ def _corr_impl():
 def _build_corr_lookup(f1, f2, dtype):
     """Build the per-keyframe correlation pyramid; returns lookup(cflat
     [E,P,2]) -> [E,P,L*49] using the configured implementation."""
-    if _corr_impl() == "pallas":
+    if _corr_impl() in ("pallas", "pallas_nowin"):
         interp = jax.devices()[0].platform == "cpu"
         levels, pmeta, _ = corr_build_pmajor_pallas(
             f1, f2, dtype=dtype, interpret=interp
@@ -347,6 +352,7 @@ def _fused_rounds(
     # kernel on TPU — the per-round cost drops from 21.4 to 3.7 ms at EuRoC
     # scale on v5e; see _CORR_IMPL above for the alternatives).
     E = fmap1_e.shape[0]
+    impl = _corr_impl()
     if _USE_CORR_WINDOWS:
         vol = corr_volume_flat(fmap1_e, fmap2_e, dtype=dtype)
         pyr = build_pyramid_flat(vol, num_levels=4)
@@ -358,6 +364,31 @@ def _fused_rounds(
         cflat0 = coords_init[0].reshape(E, h8 * w8, 2)
         wbases = window_bases(cflat0, wmeta)
         wins = extract_windows(padded, wmeta, wbases)
+    elif impl == "pallas":
+        # fused Pallas build + window cache once per keyframe (the
+        # reprojection moves < 1 px/round once BA converges); the
+        # drift-guarded lax.cond falls back to the full blocked lookup so
+        # results are exact regardless
+        interp = jax.devices()[0].platform == "cpu"
+        coords_init, _ = projective_transform(
+            poses_win[None], disps_win[None], intr_win[None], ii_a, jj_a
+        )
+        cflat0 = coords_init[0].reshape(E, h8 * w8, 2)
+        levels, pwins, pbases, pmeta, _ = corr_build_windows_pallas(
+            fmap1_e, fmap2_e, cflat0, dtype=dtype, interpret=interp
+        )
+
+        def lookup(cflat):
+            return jax.lax.cond(
+                window_drift_ok_pallas(pbases, pmeta, cflat),
+                lambda c: corr_lookup_windows_pallas(
+                    pwins, pbases, pmeta, c, interpret=interp
+                ),
+                lambda c: corr_lookup_blocked_pallas(
+                    levels, pmeta, c, interpret=interp
+                ),
+                cflat,
+            )
     else:
         lookup = _build_corr_lookup(fmap1_e, fmap2_e, dtype)
 

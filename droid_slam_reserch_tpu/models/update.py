@@ -55,9 +55,16 @@ class GraphAgg(nn.Module):
         x = nn.relu(tconv(128, 3, name="conv1", dtype=self.dtype)(net.reshape(B * N, H, W, C)))
         x = x.reshape(B, N, H, W, 128)
 
-        # scatter_mean over edges by source frame (reference :63-67)
-        sums = jax.vmap(lambda v: jax.ops.segment_sum(v, kk, num_segments=num_segments))(x)
-        counts = jax.ops.segment_sum(jnp.ones((N,), x.dtype), kk, num_segments=num_segments)
+        # scatter_mean over edges by source frame (reference :63-67) as a
+        # one-hot MXU contraction — TPU scatter-adds serialize, the matmul
+        # rides the MXU and fuses with the surrounding convs
+        onehot = (
+            jnp.asarray(kk)[None, :] == jnp.arange(num_segments)[:, None]
+        ).astype(x.dtype)  # [M, N]
+        sums = jnp.einsum(
+            "mn,bnhwc->bmhwc", onehot, x, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+        counts = jnp.sum(onehot, axis=1)
         mean = sums / jnp.maximum(counts, 1.0)[None, :, None, None, None]
 
         M = num_segments

@@ -344,3 +344,95 @@ class TestPallasCorrLookup:
                                       interpret=True)
         )
         np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+    def test_window_cache_parity_and_drift(self):
+        """Cached-window lookup == full blocked lookup while in-window;
+        drift check flags out-of-window coords."""
+        import jax
+        import jax.numpy as jnp
+
+        from droid_slam_reserch_tpu.ops import corr as C
+        from droid_slam_reserch_tpu.ops.pallas_corr import (
+            corr_build_pmajor_pallas,
+            corr_extract_windows_pallas,
+            corr_lookup_blocked_pallas,
+            corr_lookup_windows_pallas,
+            window_drift_ok_pallas,
+        )
+
+        E, H, W, Ch = 2, 16, 24, 16
+        P = H * W
+        f1 = 0.3 * jax.random.normal(jax.random.PRNGKey(0), (E, H, W, Ch))
+        f2 = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (E, H, W, Ch))
+        base = jnp.stack(
+            jnp.meshgrid(jnp.arange(W, dtype=jnp.float32),
+                         jnp.arange(H, dtype=jnp.float32), indexing="xy"),
+            -1,
+        ).reshape(1, P, 2)
+        c0 = jnp.broadcast_to(base, (E, P, 2)) + 0.5 * jax.random.normal(
+            jax.random.PRNGKey(2), (E, P, 2)
+        )
+
+        levels, meta, _ = corr_build_pmajor_pallas(
+            f1, f2, dtype=jnp.float32, block_p=128, interpret=True
+        )
+        wins, bases = corr_extract_windows_pallas(
+            levels, meta, c0, interpret=True
+        )
+
+        # small drift (bounded below the +-8 px window tolerance): still
+        # in-window, outputs must match the full lookup
+        c1 = c0 + jax.random.uniform(
+            jax.random.PRNGKey(3), (E, P, 2), minval=-4.0, maxval=4.0
+        )
+        assert bool(window_drift_ok_pallas(bases, meta, c1))
+        full = np.asarray(
+            corr_lookup_blocked_pallas(levels, meta, c1, interpret=True)
+        )
+        winned = np.asarray(
+            corr_lookup_windows_pallas(wins, bases, meta, c1, interpret=True)
+        )
+        np.testing.assert_allclose(winned, full, rtol=1e-5, atol=1e-6)
+
+        # large drift: the check must flag it
+        c2 = c0 + 12.0
+        assert not bool(window_drift_ok_pallas(bases, meta, c2))
+
+    def test_fused_build_windows_matches_separate(self):
+        """corr_build_windows_pallas == build + extract run separately."""
+        import jax
+        import jax.numpy as jnp
+
+        from droid_slam_reserch_tpu.ops.pallas_corr import (
+            corr_build_pmajor_pallas,
+            corr_build_windows_pallas,
+            corr_extract_windows_pallas,
+        )
+
+        E, H, W, Ch = 2, 8, 16, 8
+        P = H * W
+        f1 = 0.3 * jax.random.normal(jax.random.PRNGKey(0), (E, H, W, Ch))
+        f2 = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (E, H, W, Ch))
+        c0 = jnp.broadcast_to(
+            jnp.stack(
+                jnp.meshgrid(jnp.arange(W, dtype=jnp.float32),
+                             jnp.arange(H, dtype=jnp.float32), indexing="xy"),
+                -1,
+            ).reshape(1, P, 2),
+            (E, P, 2),
+        )
+        levels, meta, _ = corr_build_pmajor_pallas(
+            f1, f2, dtype=jnp.float32, block_p=128, interpret=True
+        )
+        wins0, bases0 = corr_extract_windows_pallas(
+            levels, meta, c0, interpret=True
+        )
+        levels1, wins1, bases1, meta1, _ = corr_build_windows_pallas(
+            f1, f2, c0, dtype=jnp.float32, block_p=128, interpret=True
+        )
+        assert meta1 == meta
+        np.testing.assert_array_equal(np.asarray(bases1), np.asarray(bases0))
+        for a, b in zip(levels, levels1):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-6)
+        for a, b in zip(wins0, wins1):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-6)

@@ -94,26 +94,39 @@ def main():
     coords1 = reproj(poses, disps)
     cflat = coords1.reshape(N, P, 2)
 
-    # ---- volume + pyramid build (once per keyframe)
+    # ---- volume + pyramid build variants (once per keyframe)
+    from droid_slam_reserch_tpu.ops.pallas_corr import (
+        corr_build_pmajor_pallas, corr_extract_windows_pallas,
+        corr_lookup_blocked_pallas, corr_lookup_windows_pallas)
+
     build = jax.jit(lambda a, b: C.build_pyramid_flat(C.corr_volume_flat(a, b, dtype=fdt)))
-    res["volume_pyramid_build_ms"] = timeit(build, f1, f2, iters=10, label="volume+pyramid build")
+    res["volume_pyramid_build_xla_ms"] = timeit(build, f1, f2, iters=10, label="volume+pyramid build (XLA)")
     pyr = build(f1, f2)
+
+    build_pl = jax.jit(lambda a, b: corr_build_pmajor_pallas(a, b, dtype=fdt)[0])
+    res["volume_pyramid_build_pallas_ms"] = timeit(build_pl, f1, f2, iters=10, label="build (pallas fused)")
+    levels, meta, PB = corr_build_pmajor_pallas(f1, f2, dtype=fdt)
 
     # ---- lookup variants (per round cost)
     lk_flat = jax.jit(lambda p0, p1, p2, p3, c: C.corr_lookup_pyramid_flat([p0, p1, p2, p3], c))
-    res["lookup_flat_ms"] = timeit(lk_flat, *pyr, cflat, label="lookup flat (current)")
+    res["lookup_flat_ms"] = timeit(lk_flat, *pyr, cflat, label="lookup flat (XLA)")
 
-    build_pm = jax.jit(lambda a, b: C.build_pyramid_pmajor(a, b, dtype=fdt))
-    res["volume_pyramid_build_pmajor_ms"] = timeit(build_pm, f1, f2, iters=10, label="pmajor build")
-    padded, meta = build_pm(f1, f2)
-    meta = tuple((int(a), int(b)) for a, b in meta)
-    lk_pm = jax.jit(lambda v0, v1, v2, v3, c: C.corr_lookup_pmajor([v0, v1, v2, v3], meta, c))
-    res["lookup_pmajor_ms"] = timeit(lk_pm, *padded, cflat, label="lookup pmajor")
+    lk_pl = jax.jit(lambda v0, v1, v2, v3, c: corr_lookup_blocked_pallas([v0, v1, v2, v3], meta, c))
+    res["lookup_pallas_ms"] = timeit(lk_pl, *levels, cflat, label="lookup pallas (full)")
 
-    # parity check pmajor vs flat
+    extract = jax.jit(lambda v0, v1, v2, v3, c: corr_extract_windows_pallas([v0, v1, v2, v3], meta, c))
+    res["window_extract_ms"] = timeit(extract, *levels, cflat, iters=10, label="window extract (per keyframe)")
+    wins, bases = extract(*levels, cflat)
+    wmeta = meta
+    lk_w = jax.jit(lambda w, b, c: corr_lookup_windows_pallas(w, b, wmeta, c))
+    res["lookup_windows_ms"] = timeit(lk_w, wins, bases, cflat, label="lookup pallas (windowed)")
+
+    # parity checks vs flat
     a = np.asarray(lk_flat(*pyr, cflat), np.float32)
-    b = np.asarray(lk_pm(*padded, cflat), np.float32)
-    res["pmajor_max_err"] = float(np.abs(a - b).max())
+    b = np.asarray(lk_pl(*levels, cflat), np.float32)
+    res["pallas_max_err"] = float(np.abs(a - b).max())
+    b = np.asarray(lk_w(wins, bases, cflat), np.float32)
+    res["windows_max_err"] = float(np.abs(a - b).max())
 
     # ---- update op (GRU + agg) alone
     nets_e = jnp.zeros((N, h8, w8, 128), fdt)
@@ -139,11 +152,8 @@ def main():
                         free, be, bm, iterations=2, lm=1e-4, ep=0.1,
                         min_depth=0.25, use_pallas=use_pallas)
     res["ba_2iter_xla_ms"] = timeit(lambda p, d: ba2(p, d, False), poses, disps, label="ba 2iter xla")
-    if on_tpu or os.environ.get("PROFILE_PALLAS_CPU"):
-        try:
-            res["ba_2iter_pallas_ms"] = timeit(lambda p, d: ba2(p, d, True), poses, disps, label="ba 2iter pallas")
-        except Exception as e:
-            res["ba_2iter_pallas_error"] = f"{type(e).__name__}: {e}"[:200]
+    if on_tpu:
+        res["ba_2iter_pallas_ms"] = timeit(lambda p, d: ba2(p, d, True), poses, disps, label="ba 2iter pallas")
 
     # ---- whole fused program (6 rounds) for reference
     active_mask = jnp.ones(N, bool)
@@ -163,10 +173,11 @@ def main():
         )
     res["fused_6rounds_ms"] = timeit(fused, poses, disps, iters=10, label="fused 6 rounds")
     res["fused_per_round_ms"] = round(res["fused_6rounds_ms"] / 6, 3)
-    sum_parts = (res["reproject_ms"] + res["lookup_flat_ms"] +
-                 res["update_module_ms"] + res["ba_2iter_xla_ms"])
+    sum_parts = (res["reproject_ms"] + res["lookup_windows_ms"] +
+                 res["update_module_ms"] + res.get("ba_2iter_pallas_ms", res["ba_2iter_xla_ms"]))
     res["sum_parts_per_round_ms"] = round(sum_parts, 3)
-    res["volume_amortized_per_round_ms"] = round(res["volume_pyramid_build_ms"] / 6, 3)
+    res["volume_amortized_per_round_ms"] = round(
+        (res["volume_pyramid_build_pallas_ms"] + res["window_extract_ms"]) / 6, 3)
 
     for k, v in res.items():
         if isinstance(v, float):
