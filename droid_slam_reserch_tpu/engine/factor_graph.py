@@ -36,7 +36,7 @@ from ..ops.corr import (
 from ..utils.config import resolve_pallas_ba
 from ..ops.pallas_corr import (
     corr_build_pmajor_pallas,
-    corr_build_windows_pallas,
+    corr_build_windows_light_pallas,
     corr_lookup_blocked_pallas,
     corr_lookup_windows_pallas,
     window_drift_ok_pallas,
@@ -365,18 +365,27 @@ def _fused_rounds(
         wbases = window_bases(cflat0, wmeta)
         wins = extract_windows(padded, wmeta, wbases)
     elif impl == "pallas":
-        # fused Pallas build + window cache once per keyframe (the
-        # reprojection moves < 1 px/round once BA converges); the
-        # drift-guarded lax.cond falls back to the full blocked lookup so
-        # results are exact regardless
+        # fused Pallas window-cache build once per keyframe (the
+        # reprojection moves < 1 px/round once BA converges); the pyramid
+        # itself never touches HBM — the drift-guarded lax.cond REBUILDS it
+        # on demand for the full lookup, so results are exact regardless
+        # while the common path writes only the ~0.3 GB window tile
         interp = jax.devices()[0].platform == "cpu"
         coords_init, _ = projective_transform(
             poses_win[None], disps_win[None], intr_win[None], ii_a, jj_a
         )
         cflat0 = coords_init[0].reshape(E, h8 * w8, 2)
-        levels, pwins, pbases, pmeta, _ = corr_build_windows_pallas(
+        pwins, pbases, pmeta, _ = corr_build_windows_light_pallas(
             fmap1_e, fmap2_e, cflat0, dtype=dtype, interpret=interp
         )
+
+        def _full_lookup(c):
+            levels, _, _ = corr_build_pmajor_pallas(
+                fmap1_e, fmap2_e, dtype=dtype, interpret=interp
+            )
+            return corr_lookup_blocked_pallas(
+                levels, pmeta, c, interpret=interp
+            )
 
         def lookup(cflat):
             return jax.lax.cond(
@@ -384,9 +393,7 @@ def _fused_rounds(
                 lambda c: corr_lookup_windows_pallas(
                     pwins, pbases, pmeta, c, interpret=interp
                 ),
-                lambda c: corr_lookup_blocked_pallas(
-                    levels, pmeta, c, interpret=interp
-                ),
+                _full_lookup,
                 cflat,
             )
     else:

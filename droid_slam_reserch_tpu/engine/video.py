@@ -239,10 +239,11 @@ class Video:
         else:
             eta = eta_win
 
-        if cfg.ba_shards > 1 and not motion_only and MW % cfg.ba_shards == 0:
+        shards = self._resolved_ba_shards(MW, motion_only)
+        if shards > 1:
             poses_w, disps_w = self._ba_sharded(
                 sl, MW, ii_l[:n], jj_l[:n], target_p[:n], weight_p[:n], eta,
-                free, iterations, lm, ep,
+                free, iterations, lm, ep, shards,
             )
             disps_w = jnp.maximum(disps_w, 0.001)
             self.poses = _set_range(self.poses, m0, poses_w)
@@ -261,25 +262,40 @@ class Video:
         self.poses = _set_range(self.poses, m0, poses_w)
         self.disps = _set_range(self.disps, m0, disps_w)
 
+    def _resolved_ba_shards(self, MW, motion_only):
+        """cfg.ba_shards with -1 = auto: shard large global-BA windows over
+        every local device (frontend-sized windows and motion-only solves
+        stay single-device — the pose-system exchange would dominate)."""
+        import jax
+
+        s = self.cfg.ba_shards
+        if s == -1:
+            n = jax.local_device_count()
+            if n > 1 and not motion_only and MW >= 128 and MW % n == 0:
+                return n
+            return 0
+        if s > 1 and not motion_only and MW % s == 0:
+            return s
+        return 0
+
     def _ba_sharded(self, sl, MW, ii_l, jj_l, target, weight, eta,
-                    free, iterations, lm, ep):
+                    free, iterations, lm, ep, shards):
         """Keyframe-sharded distributed BA over a `kf` device mesh
         (SURVEY.md §2.7 map parallelism; parallel/dist_ba.py).  Depth
         buckets and their edges live shard-local; only the pose system is
-        psum-reduced.  Used by the backend for large windows when
-        cfg.ba_shards > 1."""
+        exchanged (block-sparse all_gathers)."""
         import jax
 
         from ..parallel import dist_ba_solve, make_mesh, partition_edges
 
         cfg = self.cfg
-        if getattr(self, "_kf_mesh", None) is None or self._kf_mesh.size != cfg.ba_shards:
+        if getattr(self, "_kf_mesh", None) is None or self._kf_mesh.size != shards:
             self._kf_mesh = make_mesh(
-                (cfg.ba_shards,), ("kf",), devices=jax.devices()[: cfg.ba_shards]
+                (shards,), ("kf",), devices=jax.devices()[:shards]
             )
         ii_s, jj_s, tgt_s, wgt_s, be_s, bm_s = partition_edges(
             ii_l, jj_l, np.asarray(target), np.asarray(weight), MW,
-            cfg.ba_shards, edge_bucket=cfg.edge_bucket,
+            shards, edge_bucket=cfg.edge_bucket,
         )
         return dist_ba_solve(
             self._kf_mesh, self.poses[sl], self.disps[sl], self.intrinsics[0],

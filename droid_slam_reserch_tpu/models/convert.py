@@ -39,12 +39,10 @@ _UPDATE_MAP = {
     "update.weight.2": ("weight2",),
     "update.delta.0": ("delta1",),
     "update.delta.2": ("delta2",),
-    "update.gru.convz": ("gru", "convz"),
-    "update.gru.convr": ("gru", "convr"),
+    "update.gru.convzr": ("gru", "convzr"),
     "update.gru.convq": ("gru", "convq"),
     "update.gru.w": ("gru", "w"),
-    "update.gru.convz_glo": ("gru", "convz_glo"),
-    "update.gru.convr_glo": ("gru", "convr_glo"),
+    "update.gru.convzr_glo": ("gru", "convzr_glo"),
     "update.gru.convq_glo": ("gru", "convq_glo"),
     "update.agg.conv1": ("agg", "conv1"),
     "update.agg.conv2": ("agg", "conv2"),
@@ -71,6 +69,21 @@ def convert_torch_checkpoint(state_dict):
         if f"{head}.weight" in sd and sd[f"{head}.weight"].shape[0] == 3:
             sd[f"{head}.weight"] = sd[f"{head}.weight"][:2]
             sd[f"{head}.bias"] = sd[f"{head}.bias"][:2]
+
+    # the GRU's z/r convs share their input; the flax module runs them as
+    # ONE conv with stacked output channels (models/gru.py), numerically
+    # identical — stack the reference weights along the OIHW out axis
+    for a, b, out in (
+        ("update.gru.convz", "update.gru.convr", "update.gru.convzr"),
+        ("update.gru.convz_glo", "update.gru.convr_glo", "update.gru.convzr_glo"),
+    ):
+        if f"{a}.weight" in sd and f"{b}.weight" in sd:
+            sd[f"{out}.weight"] = np.concatenate(
+                [sd.pop(f"{a}.weight"), sd.pop(f"{b}.weight")], axis=0
+            )
+            sd[f"{out}.bias"] = np.concatenate(
+                [sd.pop(f"{a}.bias"), sd.pop(f"{b}.bias")], axis=0
+            )
 
     mapping = {}
     for prefix in ("fnet", "cnet"):

@@ -22,14 +22,16 @@ class ConvGRU(nn.Module):
         glo = nn.sigmoid(tconv(self.h_planes, 1, padding=0, name="w", dtype=self.dtype)(net)) * net
         glo = jnp.mean(glo, axis=(1, 2), keepdims=True)  # [B,1,1,C]
 
-        z = nn.sigmoid(
-            tconv(self.h_planes, 3, name="convz", dtype=self.dtype)(net_inp)
-            + tconv(self.h_planes, 1, padding=0, name="convz_glo", dtype=self.dtype)(glo)
+        # z and r read the same input: one fused conv with 2x output
+        # channels halves the conv-call count on the hot path (the weights
+        # are the reference's convz/convr stacked along output channels —
+        # models/convert.py:_fuse_gru_zr)
+        zr = (
+            tconv(2 * self.h_planes, 3, name="convzr", dtype=self.dtype)(net_inp)
+            + tconv(2 * self.h_planes, 1, padding=0, name="convzr_glo", dtype=self.dtype)(glo)
         )
-        r = nn.sigmoid(
-            tconv(self.h_planes, 3, name="convr", dtype=self.dtype)(net_inp)
-            + tconv(self.h_planes, 1, padding=0, name="convr_glo", dtype=self.dtype)(glo)
-        )
+        z = nn.sigmoid(zr[..., : self.h_planes])
+        r = nn.sigmoid(zr[..., self.h_planes :])
         q = nn.tanh(
             tconv(self.h_planes, 3, name="convq", dtype=self.dtype)(
                 jnp.concatenate([r * net, inp], axis=-1)

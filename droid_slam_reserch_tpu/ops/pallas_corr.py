@@ -406,30 +406,36 @@ def corr_extract_windows_pallas(levels, meta, coords, interpret=False):
     return wins, bases
 
 
-def _lookup_windows_kernel(meta, radius, ct_ref, bases_ref, wpack_ref, out_ref):
-    """Grid step (e, pb): pyramid lookup inside the packed cached windows."""
+def _lookup_windows_kernel(meta, radius, G, PB, ct_ref, bases_ref, wpack_ref,
+                           out_ref):
+    """Grid step (e, pb-group): pyramid lookup inside the packed cached
+    windows for G consecutive pixel blocks.  Grouping amortizes per-step
+    DMA latency — the per-block VPU work (~0.7 us) is far below the ~3 us
+    DMA issue latency, so ungrouped steps are latency-bound."""
     rd = 2 * radius + 1
     offs, _ = _pack_offsets(meta)
-    for lvl, (off, (H2, W2)) in enumerate(zip(offs, meta)):
-        WH, WW = _win_shape(H2, W2)
-        scale = 1.0 / (2.0 ** lvl)
-        x0 = ct_ref[0, 0:1, :] * scale
-        y0 = ct_ref[0, 1:2, :] * scale
-        xf = jnp.floor(x0)
-        yf = jnp.floor(y0)
-        w = wpack_ref[0, 0, off : off + WH, :WW, :]  # [WH, WW, PB]
-        dy = (y0 - yf)[None].astype(w.dtype)
-        dx = (x0 - xf)[None].astype(w.dtype)
-        by = bases_ref[0, 2 * lvl : 2 * lvl + 1, :]
-        bx = bases_ref[0, 2 * lvl + 1 : 2 * lvl + 2, :]
-        sy = jnp.clip(yf.astype(jnp.int32) + (_PPAD - radius) - by, 0, WH - 8)[None]
-        sx = jnp.clip(xf.astype(jnp.int32) + (_PPAD - radius) - bx, 0, WW - 8)[None]
-        w8 = _tree_take(w, sy, axis=0, R=WH - 8, size=8)
-        yb = (1 - dy) * w8[:rd] + dy * w8[1 : rd + 1]
-        x8 = _tree_take(yb, sx, axis=1, R=WW - 8, size=8)
-        xb = (1 - dx) * x8[:, :rd] + dx * x8[:, 1 : rd + 1]
-        blk = jnp.swapaxes(xb, 0, 1).reshape(rd * rd, -1)
-        out_ref[0, lvl * rd * rd : (lvl + 1) * rd * rd, :] = blk
+    for g in range(G):
+        pb = slice(g * PB, (g + 1) * PB)
+        for lvl, (off, (H2, W2)) in enumerate(zip(offs, meta)):
+            WH, WW = _win_shape(H2, W2)
+            scale = 1.0 / (2.0 ** lvl)
+            x0 = ct_ref[0, 0:1, pb] * scale
+            y0 = ct_ref[0, 1:2, pb] * scale
+            xf = jnp.floor(x0)
+            yf = jnp.floor(y0)
+            w = wpack_ref[0, g, off : off + WH, :WW, :]  # [WH, WW, PB]
+            dy = (y0 - yf)[None].astype(w.dtype)
+            dx = (x0 - xf)[None].astype(w.dtype)
+            by = bases_ref[0, 2 * lvl : 2 * lvl + 1, pb]
+            bx = bases_ref[0, 2 * lvl + 1 : 2 * lvl + 2, pb]
+            sy = jnp.clip(yf.astype(jnp.int32) + (_PPAD - radius) - by, 0, WH - 8)[None]
+            sx = jnp.clip(xf.astype(jnp.int32) + (_PPAD - radius) - bx, 0, WW - 8)[None]
+            w8 = _tree_take(w, sy, axis=0, R=WH - 8, size=8)
+            yb = (1 - dy) * w8[:rd] + dy * w8[1 : rd + 1]
+            x8 = _tree_take(yb, sx, axis=1, R=WW - 8, size=8)
+            xb = (1 - dx) * x8[:, :rd] + dx * x8[:, 1 : rd + 1]
+            blk = jnp.swapaxes(xb, 0, 1).reshape(rd * rd, -1)
+            out_ref[0, lvl * rd * rd : (lvl + 1) * rd * rd, pb] = blk
 
 
 @functools.partial(jax.jit, static_argnames=("meta", "radius", "interpret"))
@@ -445,21 +451,28 @@ def corr_lookup_windows_pallas(wins, bases, meta, coords, radius=3,
     coords_t = jnp.swapaxes(jax.lax.stop_gradient(coords), 1, 2)
     dt = wins.dtype
     sum_wh, wwmax = wins.shape[2:4]
+    nPB = P // PB
+    G = 1
+    for g in (4, 2):  # pixel blocks per grid step (VMEM-bounded)
+        if nPB % g == 0 and g * sum_wh * wwmax * PB * dt.itemsize < 5 * 2**20:
+            G = g
+            break
 
     in_specs = [
-        pl.BlockSpec((1, 2, PB), lambda e, p: (e, 0, p),
+        pl.BlockSpec((1, 2, G * PB), lambda e, p: (e, 0, p),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 2 * L, PB), lambda e, p: (e, 0, p),
+        pl.BlockSpec((1, 2 * L, G * PB), lambda e, p: (e, 0, p),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, sum_wh, wwmax, PB), lambda e, p: (e, p, 0, 0, 0),
+        pl.BlockSpec((1, G, sum_wh, wwmax, PB), lambda e, p: (e, p, 0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     out = pl.pallas_call(
-        functools.partial(_lookup_windows_kernel, meta, radius),
+        functools.partial(_lookup_windows_kernel, meta, radius, G, PB),
         out_shape=jax.ShapeDtypeStruct((E, L * rd * rd, P), dt),
-        grid=(E, P // PB),
+        grid=(E, nPB // G),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, L * rd * rd, PB), lambda e, p: (e, 0, p),
+        out_specs=pl.BlockSpec((1, L * rd * rd, G * PB),
+                               lambda e, p: (e, 0, p),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(coords_t.astype(jnp.float32), bases, wins)
@@ -606,3 +619,103 @@ def corr_build_windows_pallas(f1, f2, coords_init, num_levels=4,
         interpret=interpret,
     )(f1.reshape(E, P, C), f2, coords_t.astype(jnp.float32))
     return list(outs[:L]), outs[L], outs[L + 1], meta, PB
+
+
+def _build_windows_light_kernel(meta, out_dtype, f1_ref, f2_ref, ct_ref,
+                                wpack_ref, bases_ref, scratch):
+    """Grid step (e, pb): like _build_windows_kernel but WITHOUT writing the
+    pyramid levels to HBM — only the packed windows + bases.  Saves the
+    ~1.9 GB/keyframe of level writes; the engine's drift fallback rebuilds
+    the pyramid on demand (rare).  scratch: [Hp0, Wp0, PB] VMEM."""
+    L = len(meta)
+    offs, _ = _pack_offsets(meta)
+    C = f1_ref.shape[-1]
+    H, W = f2_ref.shape[1], f2_ref.shape[2]
+    PB = f1_ref.shape[1]
+    f1 = f1_ref[0]
+    f2 = f2_ref[0].reshape(H * W, C)
+    v = jax.lax.dot_general(
+        f2, f1, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * (1.0 / 16.0)
+    v = v.astype(out_dtype).reshape(H, W, PB)
+
+    for lvl, (off, (H2, W2)) in enumerate(zip(offs, meta)):
+        Hp, Wp = H2 + 2 * _PPAD, W2 + 2 * _PPAD
+        WH, WW = _win_shape(H2, W2)
+        scratch[:Hp, :Wp, :] = jnp.zeros((Hp, Wp, PB), out_dtype)
+        scratch[_PPAD : _PPAD + H2, _PPAD : _PPAD + W2, :] = v
+
+        scale = 1.0 / (2.0 ** lvl)
+        yf = jnp.floor(ct_ref[0, 1:2, :] * scale).astype(jnp.int32)
+        xf = jnp.floor(ct_ref[0, 0:1, :] * scale).astype(jnp.int32)
+        by = jnp.clip(yf + _PPAD - 3 - (WH - 8) // 2, 0, Hp - WH)
+        bx = jnp.clip(xf + _PPAD - 3 - (WW - 8) // 2, 0, Wp - WW)
+        bases_ref[0, 2 * lvl : 2 * lvl + 1, :] = by
+        bases_ref[0, 2 * lvl + 1 : 2 * lvl + 2, :] = bx
+        vp = scratch[:Hp, :Wp, :]
+        w = _tree_take(vp, by[None], axis=0, R=Hp - WH, size=WH)
+        w = _tree_take(w, bx[None], axis=1, R=Wp - WW, size=WW)
+        wpack_ref[0, 0, off : off + WH, :WW, :] = w
+
+        if lvl + 1 < L:
+            h, w2 = H2 // 2, W2 // 2
+            x = v[: 2 * h, : 2 * w2].reshape(h, 2, w2, 2, PB)
+            v = (
+                x[:, 0, :, 0] + x[:, 0, :, 1] + x[:, 1, :, 0] + x[:, 1, :, 1]
+            ) * jnp.asarray(0.25, v.dtype)
+
+
+def corr_build_windows_light_pallas(f1, f2, coords_init, num_levels=4,
+                                    dtype=jnp.bfloat16, block_p=256,
+                                    interpret=False):
+    """Window cache + bases only — the pyramid never touches HBM.
+
+    Returns (wins, bases, meta, PB).  Pair with a drift fallback that
+    rebuilds via corr_build_pmajor_pallas + corr_lookup_blocked_pallas."""
+    E, H1, W1, C = f1.shape
+    H, W = int(f2.shape[1]), int(f2.shape[2])
+    P = int(H1) * int(W1)
+    PB = min(block_p, P)
+    while P % PB:
+        PB -= 1
+    nPB = P // PB
+
+    meta = []
+    h, w = H, W
+    for _ in range(num_levels):
+        meta.append((h, w))
+        h, w = h // 2, w // 2
+    meta = tuple(meta)
+    L = num_levels
+
+    coords_t = jnp.swapaxes(jax.lax.stop_gradient(coords_init), 1, 2)
+    offs, sum_wh = _pack_offsets(meta)
+    wwmax = max(_win_shape(H2, W2)[1] for (H2, W2) in meta)
+    Hp0, Wp0 = H + 2 * _PPAD, W + 2 * _PPAD
+
+    wins, bases = pl.pallas_call(
+        functools.partial(_build_windows_light_kernel, meta, dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct((E, nPB, sum_wh, wwmax, PB), dtype),
+            jax.ShapeDtypeStruct((E, 2 * L, P), jnp.int32),
+        ],
+        grid=(E, nPB),
+        in_specs=[
+            pl.BlockSpec((1, PB, C), lambda e, p: (e, p, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, W, C), lambda e, p: (e, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, PB), lambda e, p: (e, 0, p),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, sum_wh, wwmax, PB),
+                         lambda e, p: (e, p, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * L, PB), lambda e, p: (e, 0, p),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((Hp0, Wp0, PB), dtype)],
+        interpret=interpret,
+    )(f1.reshape(E, P, C), f2, coords_t.astype(jnp.float32))
+    return wins, bases, meta, PB

@@ -73,9 +73,10 @@ class DroidConfig:
     # memory fix the reference ships as AltCorrBlock (factor_graph.py:261)
     use_altcorr_backend: bool = True
     # shard full-window dense BA over this many mesh devices (keyframe/depth
-    # buckets sharded, pose system psum-reduced — parallel/dist_ba.py).
-    # 0/1 = single-device solver.  Requires window_bucket % ba_shards == 0.
-    ba_shards: int = 0
+    # buckets sharded, pose system exchanged block-sparse —
+    # parallel/dist_ba.py).  -1 (default) = auto: windows >= 128 keyframes
+    # use every local device; 0/1 = always single-device.
+    ba_shards: int = -1
     edge_bucket: int = 16                  # pad edge counts to multiples
     window_bucket: int = 8                 # pad BA window sizes to multiples
     compute_dtype: str = "float32"         # "bfloat16" on TPU for the network

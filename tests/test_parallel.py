@@ -141,3 +141,53 @@ def test_engine_video_ba_sharded_matches_single():
     p4, d4 = run(4)
     np.testing.assert_allclose(p4, p1, atol=2e-4)
     np.testing.assert_allclose(d4, d1, atol=2e-3)
+
+
+def test_video_ba_auto_shards_parity():
+    """ba_shards=-1 (auto) routes a 128-kf window through the kf-sharded
+    solver on the 8-device mesh and matches the single-device solve."""
+    import jax.numpy as jnp
+
+    from droid_slam_reserch_tpu.engine.video import Video
+    from droid_slam_reserch_tpu.geom import projective_transform
+    from droid_slam_reserch_tpu.lie import se3_exp
+    from droid_slam_reserch_tpu.utils import DroidConfig
+
+    T, h8, w8 = 128, 8, 12
+    xi = 0.01 * np.random.RandomState(0).standard_normal((T, 6))
+
+    def make_video(shards):
+        cfg = DroidConfig(image_size=(h8 * 8, w8 * 8), buffer=T + 8,
+                          ba_shards=shards)
+        v = Video(cfg)
+        v.counter = T
+        v.poses = v.poses.at[:T].set(
+            se3_exp(jnp.asarray(xi, jnp.float32)))
+        v.disps = v.disps.at[:T].set(0.8 * jnp.ones((T, h8, w8)))
+        v.intrinsics = v.intrinsics.at[:T].set(
+            jnp.broadcast_to(jnp.array([w8 * 4.0, w8 * 4.0, w8 / 2.0, h8 / 2.0]),
+                             (T, 4)))
+        return v
+
+    ii = np.concatenate([np.arange(T - 1), np.arange(T - 2)])
+    jj = np.concatenate([np.arange(1, T), np.arange(2, T)])
+    v0 = make_video(0)
+    coords, _ = projective_transform(
+        v0.poses[None], v0.disps[None], v0.intrinsics[None],
+        jnp.asarray(ii, jnp.int32), jnp.asarray(jj, jnp.int32))
+    rng2 = np.random.RandomState(1)
+    target = jnp.asarray(np.asarray(coords[0]) +
+                         0.2 * rng2.standard_normal(coords[0].shape[1:] if False else np.asarray(coords[0]).shape).astype(np.float32))
+    weight = 0.5 * jnp.ones_like(target)
+
+    v0.ba(target, weight, None, ii, jj, 1, T, iterations=2)
+    va = make_video(-1)
+    assert va._resolved_ba_shards(128, motion_only=False) == 8
+    va.ba(target, weight, None, ii, jj, 1, T, iterations=2)
+
+    np.testing.assert_allclose(
+        np.asarray(va.poses[:T]), np.asarray(v0.poses[:T]), atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(va.disps[:T]), np.asarray(v0.disps[:T]), atol=5e-3
+    )
