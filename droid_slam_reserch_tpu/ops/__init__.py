@@ -13,5 +13,16 @@ from .corr import (
     altcorr,
     altcorr_pyramid,
 )
+from .pallas_corr import (
+    corr_build_pmajor_pallas,
+    corr_build_windows_pallas,
+    corr_build_windows_light_pallas,
+    corr_extract_windows_pallas,
+    corr_lookup_blocked_pallas,
+    corr_lookup_pmajor_pallas,
+    corr_lookup_windows_pallas,
+    window_drift_ok_pallas,
+)
+from .pallas_ba import build_system_blocks_pallas
 
 __all__ = [k for k in dir() if not k.startswith("_")]

@@ -179,3 +179,45 @@ def test_upsample_through_fused_frontend(shared_params):
     assert up.shape[1:] == (H, W)
     assert np.isfinite(up).all()
     assert (np.abs(up) > 0).any()
+
+
+def test_backend_upsample_through_lowmem(shared_params):
+    """--upsample through terminate(): the scanned lowmem refresh must
+    populate disps_up for backend-refined frames (reference upsamples in
+    update_lowmem chunks, factor_graph.py:294)."""
+    droid = run_sequence(
+        Droid(make_config(upsample=True), params=shared_params), n_frames=10
+    )
+    droid.terminate()
+    v = droid.video
+    assert v.disps_up is not None
+    up = np.asarray(v.disps_up[: v.counter])
+    assert np.isfinite(up).all()
+    assert (np.abs(up) > 0).any()
+
+
+def test_fused_rounds_match_sequential_updates(shared_params):
+    """update_fused(rounds=K) must track the same trajectory as K separate
+    update() calls (reference droid_frontend.py:52-53 loops) — the fused
+    one-dispatch redesign is an execution change, not a semantic one."""
+    import types
+
+    da = run_sequence(Droid(make_config(), params=shared_params), n_frames=10)
+
+    db = Droid(make_config(), params=shared_params)
+
+    def seq_updates(self, rounds, t0=None):
+        for _ in range(rounds):
+            self.graph.update(t0, None, use_inactive=True)
+
+    db.frontend._run_updates = types.MethodType(seq_updates, db.frontend)
+    run_sequence(db, n_frames=10)
+
+    ta, tb = da.video.counter, db.video.counter
+    assert ta == tb
+    pa = np.asarray(da.video.poses[:ta])
+    pb = np.asarray(db.video.poses[:tb])
+    dda = np.asarray(da.video.disps[:ta])
+    ddb = np.asarray(db.video.disps[:tb])
+    np.testing.assert_allclose(pa, pb, atol=2e-3)
+    np.testing.assert_allclose(dda, ddb, atol=2e-2)
