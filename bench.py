@@ -101,7 +101,16 @@ def main():
     damping = 1e-6 * jnp.ones((MW, h8, w8))
     empty_t = jnp.zeros((0, h8, w8, 2))
 
-    use_pallas = bool(int(os.environ.get("BENCH_PALLAS", "0")))
+    # BA system builder: follow the engine default (Pallas on TPU — both
+    # faster and closer to the fp32 oracle, see utils/config.py) unless
+    # BENCH_PALLAS explicitly overrides for A/B runs
+    from droid_slam_reserch_tpu.utils.config import resolve_pallas_ba
+
+    env_pallas = os.environ.get("BENCH_PALLAS")
+    use_pallas = (
+        bool(int(env_pallas)) if env_pallas is not None
+        else resolve_pallas_ba(cfg)
+    )
 
     def one_keyframe(poses, disps, damping, nets_e, target):
         """The whole per-keyframe frontend loop as one device program."""
