@@ -755,21 +755,26 @@ class FactorGraph:
         )
 
         sl = slice(m0, m0 + MW)
-        poses, disps, damping, nets, target_out, weight_out, upmask = _fused_rounds(
-            self.update_apply, self.params,
-            video.poses[sl], video.disps[sl], video.disps_sens[sl],
-            video.damping[sl], video.intrinsics[0],
-            fmap1_e, fmap2_e, nets_e, inps_e, target_a,
-            jnp.asarray(ii_al.astype(np.int32)), jnp.asarray(jj_al.astype(np.int32)),
-            jnp.asarray(kk_a), jnp.asarray(active_mask), jnp.asarray(has_edge),
-            jnp.asarray(ii_all), jnp.asarray(jj_all), tgt_i, wgt_i,
-            jnp.asarray(free), jnp.asarray(be), jnp.asarray(bm),
-            rounds=rounds, ba_iters=itrs,
-            lm=cfg.frontend_lm, ep=cfg.frontend_ep,
-            damping_eps=cfg.damping_eps, min_depth=cfg.min_depth,
-            dtype=self.dtype, use_pallas=resolve_pallas_ba(cfg),
-        )
+        from ..utils.timing import section
+        with section("update_fused.device"):
+                poses, disps, damping, nets, target_out, weight_out, upmask = _fused_rounds(
+                self.update_apply, self.params,
+                video.poses[sl], video.disps[sl], video.disps_sens[sl],
+                video.damping[sl], video.intrinsics[0],
+                fmap1_e, fmap2_e, nets_e, inps_e, target_a,
+                jnp.asarray(ii_al.astype(np.int32)), jnp.asarray(jj_al.astype(np.int32)),
+                jnp.asarray(kk_a), jnp.asarray(active_mask), jnp.asarray(has_edge),
+                jnp.asarray(ii_all), jnp.asarray(jj_all), tgt_i, wgt_i,
+                jnp.asarray(free), jnp.asarray(be), jnp.asarray(bm),
+                rounds=rounds, ba_iters=itrs,
+                lm=cfg.frontend_lm, ep=cfg.frontend_ep,
+                damping_eps=cfg.damping_eps, min_depth=cfg.min_depth,
+                dtype=self.dtype, use_pallas=resolve_pallas_ba(cfg),
+            )
 
+        if _os.environ.get("DROID_TIMING"):
+            with section("update_fused.sync"):
+                np.asarray(jnp.ravel(poses)[:1])  # attribute device time
         video.poses = video.poses.at[sl].set(poses)
         video.disps = video.disps.at[sl].set(disps)
         video.damping = video.damping.at[sl].set(damping)
