@@ -83,6 +83,39 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+@partial(jax.jit, static_argnames=("pad", "MW"))
+def _gather_window(fmaps, inps, poses, disps, disps_sens, damping,
+                   net, target, ii_p, jj_p, cams, m0, pad, MW):
+    """All per-edge/window gathers for update_fused in ONE device program
+    (host dispatch latency dominates these tiny ops)."""
+    h8, w8 = disps.shape[-2:]
+    C = net.shape[-1]
+    fmap1_e = fmaps[ii_p, 0]
+    fmap2_e = fmaps[jj_p, cams]
+    nets_e = jnp.concatenate(
+        [net, jnp.zeros((pad, h8, w8, C), net.dtype)], 0
+    )
+    inps_e = inps[ii_p]
+    target_a = jnp.concatenate(
+        [target, jnp.zeros((pad, h8, w8, 2), jnp.float32)], 0
+    )
+    dsl = lambda b: jax.lax.dynamic_slice_in_dim(b, m0, MW, axis=0)
+    return (fmap1_e, fmap2_e, nets_e, inps_e, target_a,
+            dsl(poses), dsl(disps), dsl(disps_sens), dsl(damping))
+
+
+@partial(jax.jit, donate_argnums=(0, 1, 2))
+def _scatter_window(poses_buf, disps_buf, damping_buf, poses, disps,
+                    damping, m0):
+    """Write the solved window back into the ring buffers, one dispatch."""
+    upd = jax.lax.dynamic_update_slice_in_dim
+    return (
+        upd(poses_buf, poses, m0, axis=0),
+        upd(disps_buf, disps, m0, axis=0),
+        upd(damping_buf, damping, m0, axis=0),
+    )
+
+
 @partial(jax.jit, static_argnames=("apply_fn", "num_segments", "dtype"))
 def _update_op_step(
     apply_fn,
@@ -743,24 +776,24 @@ class FactorGraph:
         has_edge[self.ii - m0] = True
 
         cams = ((ii_p == jj_p) & video.stereo).astype(np.int32)
-        fmap1_e = video.fmaps[jnp.asarray(ii_p), 0]
-        fmap2_e = video.fmaps[jnp.asarray(jj_p), jnp.asarray(cams)]
         pad = n_pad - n
-        nets_e = jnp.concatenate(
-            [self.net, jnp.zeros((pad, h8, w8, 128), self.net.dtype)], 0
-        )
-        inps_e = video.inps[jnp.asarray(ii_p)]
-        target_a = jnp.concatenate(
-            [self.target, jnp.zeros((pad, h8, w8, 2), jnp.float32)], 0
+        # one jitted gather for every per-edge/window input (each separate
+        # device op costs a dispatch round-trip on the host side)
+        (fmap1_e, fmap2_e, nets_e, inps_e, target_a,
+         poses_w, disps_w, dsens_w, damping_w) = _gather_window(
+            video.fmaps, video.inps, video.poses, video.disps,
+            video.disps_sens, video.damping, self.net, self.target,
+            jnp.asarray(ii_p), jnp.asarray(jj_p), jnp.asarray(cams),
+            m0, pad=pad, MW=MW,
         )
 
         sl = slice(m0, m0 + MW)
         from ..utils.timing import section
+
         with section("update_fused.device"):
-                poses, disps, damping, nets, target_out, weight_out, upmask = _fused_rounds(
+            poses, disps, damping, nets, target_out, weight_out, upmask = _fused_rounds(
                 self.update_apply, self.params,
-                video.poses[sl], video.disps[sl], video.disps_sens[sl],
-                video.damping[sl], video.intrinsics[0],
+                poses_w, disps_w, dsens_w, damping_w, video.intrinsics[0],
                 fmap1_e, fmap2_e, nets_e, inps_e, target_a,
                 jnp.asarray(ii_al.astype(np.int32)), jnp.asarray(jj_al.astype(np.int32)),
                 jnp.asarray(kk_a), jnp.asarray(active_mask), jnp.asarray(has_edge),
@@ -775,9 +808,9 @@ class FactorGraph:
         if _os.environ.get("DROID_TIMING"):
             with section("update_fused.sync"):
                 np.asarray(jnp.ravel(poses)[:1])  # attribute device time
-        video.poses = video.poses.at[sl].set(poses)
-        video.disps = video.disps.at[sl].set(disps)
-        video.damping = video.damping.at[sl].set(damping)
+        video.poses, video.disps, video.damping = _scatter_window(
+            video.poses, video.disps, video.damping, poses, disps, damping, m0
+        )
         self.net = nets[:n]
         self.target = target_out[:n]
         self.weight = weight_out[:n]

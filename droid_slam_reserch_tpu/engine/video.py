@@ -161,16 +161,23 @@ class Video:
         ii = np.asarray(ii, dtype=np.int32).reshape(-1)
         jj = np.asarray(jj, dtype=np.int32).reshape(-1)
         n = len(ii)
+        intr = self.intrinsics[0]
+        b = self.cfg.beta if beta is None else beta
+        if bidirectional:
+            # both directions ride ONE padded dispatch (the per-call launch
+            # is what dominates host-side; reference runs two kernels,
+            # depth_video.py:171-182)
+            ii2 = np.concatenate([ii, jj])
+            jj2 = np.concatenate([jj, ii])
+            pad = _round_up(max(2 * n, 1), _DIST_CHUNK) - 2 * n
+            iip = jnp.asarray(np.concatenate([ii2, np.zeros(pad, np.int32)]))
+            jjp = jnp.asarray(np.concatenate([jj2, np.zeros(pad, np.int32)]))
+            d = _distance_chunked(self.poses, self.disps, intr, iip, jjp, b)
+            return np.asarray(0.5 * (d[:n] + d[n : 2 * n]))
         pad = _round_up(max(n, 1), _DIST_CHUNK) - n
         iip = jnp.asarray(np.concatenate([ii, np.zeros(pad, np.int32)]))
         jjp = jnp.asarray(np.concatenate([jj, np.zeros(pad, np.int32)]))
-        intr = self.intrinsics[0]
-        if bidirectional:
-            d1 = _distance_chunked(self.poses, self.disps, intr, iip, jjp, self.cfg.beta if beta is None else beta)
-            d2 = _distance_chunked(self.poses, self.disps, intr, jjp, iip, self.cfg.beta if beta is None else beta)
-            d = 0.5 * (d1 + d2)
-        else:
-            d = _distance_chunked(self.poses, self.disps, intr, iip, jjp, beta)
+        d = _distance_chunked(self.poses, self.disps, intr, iip, jjp, b)
         return np.asarray(d[:n])
 
     def distance_matrix(self, t0, t1, t, beta=0.3):
