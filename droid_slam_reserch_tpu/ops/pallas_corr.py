@@ -32,6 +32,31 @@ from jax.experimental.pallas import tpu as pltpu
 _PPAD = 8  # zero border of build_pyramid_pmajor (ops/corr.py)
 
 
+def _pick_pb(P, block_p):
+    """Largest pixel-block size <= block_p that divides P and is a multiple
+    of 128 (Mosaic requires lane-dim blocks divisible by 128 or equal to
+    the full dimension).  Callers pad P to a 128-multiple first."""
+    assert P % 128 == 0, P
+    pb = (min(block_p, P) // 128) * 128
+    while P % pb:
+        pb -= 128
+    return pb
+
+
+def _pad_p(x, P_pad, axis):
+    """Zero-pad the pixel axis up to P_pad."""
+    P = x.shape[axis]
+    if P == P_pad:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, P_pad - P)
+    return jnp.pad(x, widths)
+
+
+def _round_up128(x):
+    return ((x + 127) // 128) * 128
+
+
 def _tree_take8(x, s, axis, R):
     """x[..., s:s+8, ...] along `axis` for per-lane s in [0, R] (see
     ops.corr._tree_take8; static slices + where chain, VMEM-resident here).
@@ -94,13 +119,15 @@ def corr_lookup_pmajor_pallas(padded, meta, coords, radius=3, block_p=256,
     E, P = coords.shape[:2]
     L = len(meta)
     rd = 2 * radius + 1
-    PB = min(block_p, P)
-    while P % PB:  # largest divisor <= block_p (lane padding handles the rest)
-        PB -= 1
-    coords_t = jnp.swapaxes(jax.lax.stop_gradient(coords), 1, 2)  # [E, 2, P]
+    Pp = _round_up128(P)
+    PB = _pick_pb(Pp, block_p)
+    padded = [_pad_p(v, Pp, axis=3) for v in padded]
+    coords_t = _pad_p(
+        jnp.swapaxes(jax.lax.stop_gradient(coords), 1, 2), Pp, axis=2
+    )
     dt = padded[0].dtype
 
-    grid = (E, P // PB)
+    grid = (E, Pp // PB)
     in_specs = [pl.BlockSpec((1, 2, PB), lambda e, p: (e, 0, p),
                              memory_space=pltpu.VMEM)]
     for v in padded:
@@ -114,13 +141,13 @@ def corr_lookup_pmajor_pallas(padded, meta, coords, radius=3, block_p=256,
 
     out = pl.pallas_call(
         functools.partial(_lookup_kernel, meta, radius),
-        out_shape=jax.ShapeDtypeStruct((E, L * rd * rd, P), dt),
+        out_shape=jax.ShapeDtypeStruct((E, L * rd * rd, Pp), dt),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_spec,
         interpret=interpret,
     )(coords_t.astype(jnp.float32), *padded)
-    return jnp.swapaxes(out, 1, 2)  # [E, P, L*rd*rd]
+    return jnp.swapaxes(out, 1, 2)[:, :P]  # [E, P, L*rd*rd]
 
 
 def _build_kernel(meta, out_dtype, f1_ref, f2_ref, *out_refs):
@@ -170,10 +197,9 @@ def corr_build_pmajor_pallas(f1, f2, num_levels=4, dtype=jnp.bfloat16,
     E, H1, W1, C = f1.shape
     H, W = int(f2.shape[1]), int(f2.shape[2])
     P = int(H1) * int(W1)
-    PB = min(block_p, P)
-    while P % PB:
-        PB -= 1
-    nPB = P // PB
+    Pp = _round_up128(P)
+    PB = _pick_pb(Pp, block_p)
+    nPB = Pp // PB
 
     meta = []
     h, w = H, W
@@ -205,7 +231,7 @@ def corr_build_pmajor_pallas(f1, f2, num_levels=4, dtype=jnp.bfloat16,
         in_specs=in_specs,
         out_specs=out_specs,
         interpret=interpret,
-    )(f1.reshape(E, P, C), f2)
+    )(_pad_p(f1.reshape(E, P, C), Pp, axis=1), f2)
     return list(levels), meta, PB
 
 
@@ -248,7 +274,10 @@ def corr_lookup_blocked_pallas(levels, meta, coords, radius=3, block_p=256,
     L = len(meta)
     rd = 2 * radius + 1
     PB = levels[0].shape[-1]
-    coords_t = jnp.swapaxes(jax.lax.stop_gradient(coords), 1, 2)
+    Pp = levels[0].shape[1] * PB
+    coords_t = _pad_p(
+        jnp.swapaxes(jax.lax.stop_gradient(coords), 1, 2), Pp, axis=2
+    )
     dt = levels[0].dtype
 
     in_specs = [pl.BlockSpec((1, 2, PB), lambda e, p: (e, 0, p),
@@ -261,14 +290,14 @@ def corr_lookup_blocked_pallas(levels, meta, coords, radius=3, block_p=256,
         )
     out = pl.pallas_call(
         functools.partial(_lookup_blocked_kernel, meta, radius),
-        out_shape=jax.ShapeDtypeStruct((E, L * rd * rd, P), dt),
-        grid=(E, P // PB),
+        out_shape=jax.ShapeDtypeStruct((E, L * rd * rd, Pp), dt),
+        grid=(E, Pp // PB),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, L * rd * rd, PB), lambda e, p: (e, 0, p),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(coords_t.astype(jnp.float32), *levels)
-    return jnp.swapaxes(out, 1, 2)
+    return jnp.swapaxes(out, 1, 2)[:, :P]
 
 
 # --------------------------------------------------------------------------
@@ -370,9 +399,12 @@ def corr_extract_windows_pallas(levels, meta, coords, interpret=False):
     E, P = coords.shape[:2]
     L = len(meta)
     PB = levels[0].shape[-1]
-    coords_t = jnp.swapaxes(jax.lax.stop_gradient(coords), 1, 2)
+    nPB = levels[0].shape[1]
+    Pp = nPB * PB
+    coords_t = _pad_p(
+        jnp.swapaxes(jax.lax.stop_gradient(coords), 1, 2), Pp, axis=2
+    )
     dt = levels[0].dtype
-    nPB = P // PB
 
     in_specs = [pl.BlockSpec((1, 2, PB), lambda e, p: (e, 0, p),
                              memory_space=pltpu.VMEM)]
@@ -392,7 +424,7 @@ def corr_extract_windows_pallas(levels, meta, coords, interpret=False):
     ]
     out_shapes = [
         jax.ShapeDtypeStruct((E, nPB, sum_wh, wwmax, PB), dt),
-        jax.ShapeDtypeStruct((E, 2 * L, P), jnp.int32),
+        jax.ShapeDtypeStruct((E, 2 * L, Pp), jnp.int32),
     ]
 
     wins, bases = pl.pallas_call(
@@ -448,10 +480,13 @@ def corr_lookup_windows_pallas(wins, bases, meta, coords, radius=3,
     L = len(meta)
     rd = 2 * radius + 1
     PB = wins.shape[-1]
-    coords_t = jnp.swapaxes(jax.lax.stop_gradient(coords), 1, 2)
+    nPB = wins.shape[1]
+    Pp = nPB * PB
+    coords_t = _pad_p(
+        jnp.swapaxes(jax.lax.stop_gradient(coords), 1, 2), Pp, axis=2
+    )
     dt = wins.dtype
     sum_wh, wwmax = wins.shape[2:4]
-    nPB = P // PB
     G = 1
     for g in (4, 2):  # pixel blocks per grid step (VMEM-bounded)
         if nPB % g == 0 and g * sum_wh * wwmax * PB * dt.itemsize < 5 * 2**20:
@@ -468,7 +503,7 @@ def corr_lookup_windows_pallas(wins, bases, meta, coords, radius=3,
     ]
     out = pl.pallas_call(
         functools.partial(_lookup_windows_kernel, meta, radius, G, PB),
-        out_shape=jax.ShapeDtypeStruct((E, L * rd * rd, P), dt),
+        out_shape=jax.ShapeDtypeStruct((E, L * rd * rd, Pp), dt),
         grid=(E, nPB // G),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, L * rd * rd, G * PB),
@@ -476,7 +511,7 @@ def corr_lookup_windows_pallas(wins, bases, meta, coords, radius=3,
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(coords_t.astype(jnp.float32), bases, wins)
-    return jnp.swapaxes(out, 1, 2)
+    return jnp.swapaxes(out, 1, 2)[:, :P]
 
 
 def window_drift_ok_pallas(bases, meta, coords, radius=3):
@@ -485,6 +520,7 @@ def window_drift_ok_pallas(bases, meta, coords, radius=3):
     both kernels makes fully-out-of-image pixels read border zeros either
     way — those never need the fallback)."""
     coords = jax.lax.stop_gradient(coords)
+    bases = bases[:, :, : coords.shape[1]]  # drop the 128-alignment pad
     ok = jnp.bool_(True)
     for lvl, (H2, W2) in enumerate(meta):
         Hp, Wp = H2 + 2 * _PPAD, W2 + 2 * _PPAD
@@ -567,10 +603,9 @@ def corr_build_windows_pallas(f1, f2, coords_init, num_levels=4,
     E, H1, W1, C = f1.shape
     H, W = int(f2.shape[1]), int(f2.shape[2])
     P = int(H1) * int(W1)
-    PB = min(block_p, P)
-    while P % PB:
-        PB -= 1
-    nPB = P // PB
+    Pp = _round_up128(P)
+    PB = _pick_pb(Pp, block_p)
+    nPB = Pp // PB
 
     meta = []
     h, w = H, W
@@ -580,7 +615,9 @@ def corr_build_windows_pallas(f1, f2, coords_init, num_levels=4,
     meta = tuple(meta)
     L = num_levels
 
-    coords_t = jnp.swapaxes(jax.lax.stop_gradient(coords_init), 1, 2)
+    coords_t = _pad_p(
+        jnp.swapaxes(jax.lax.stop_gradient(coords_init), 1, 2), Pp, axis=2
+    )
 
     in_specs = [
         pl.BlockSpec((1, PB, C), lambda e, p: (e, p, 0),
@@ -608,7 +645,7 @@ def corr_build_windows_pallas(f1, f2, coords_init, num_levels=4,
     out_shapes.append(jax.ShapeDtypeStruct((E, nPB, sum_wh, wwmax, PB), dtype))
     out_specs.append(pl.BlockSpec((1, 2 * L, PB), lambda e, p: (e, 0, p),
                                   memory_space=pltpu.VMEM))
-    out_shapes.append(jax.ShapeDtypeStruct((E, 2 * L, P), jnp.int32))
+    out_shapes.append(jax.ShapeDtypeStruct((E, 2 * L, Pp), jnp.int32))
 
     outs = pl.pallas_call(
         functools.partial(_build_windows_kernel, meta, dtype),
@@ -617,7 +654,7 @@ def corr_build_windows_pallas(f1, f2, coords_init, num_levels=4,
         in_specs=in_specs,
         out_specs=out_specs,
         interpret=interpret,
-    )(f1.reshape(E, P, C), f2, coords_t.astype(jnp.float32))
+    )(_pad_p(f1.reshape(E, P, C), Pp, axis=1), f2, coords_t.astype(jnp.float32))
     return list(outs[:L]), outs[L], outs[L + 1], meta, PB
 
 
@@ -675,10 +712,9 @@ def corr_build_windows_light_pallas(f1, f2, coords_init, num_levels=4,
     E, H1, W1, C = f1.shape
     H, W = int(f2.shape[1]), int(f2.shape[2])
     P = int(H1) * int(W1)
-    PB = min(block_p, P)
-    while P % PB:
-        PB -= 1
-    nPB = P // PB
+    Pp = _round_up128(P)
+    PB = _pick_pb(Pp, block_p)
+    nPB = Pp // PB
 
     meta = []
     h, w = H, W
@@ -688,7 +724,9 @@ def corr_build_windows_light_pallas(f1, f2, coords_init, num_levels=4,
     meta = tuple(meta)
     L = num_levels
 
-    coords_t = jnp.swapaxes(jax.lax.stop_gradient(coords_init), 1, 2)
+    coords_t = _pad_p(
+        jnp.swapaxes(jax.lax.stop_gradient(coords_init), 1, 2), Pp, axis=2
+    )
     offs, sum_wh = _pack_offsets(meta)
     wwmax = max(_win_shape(H2, W2)[1] for (H2, W2) in meta)
     Hp0, Wp0 = H + 2 * _PPAD, W + 2 * _PPAD
@@ -697,7 +735,7 @@ def corr_build_windows_light_pallas(f1, f2, coords_init, num_levels=4,
         functools.partial(_build_windows_light_kernel, meta, dtype),
         out_shape=[
             jax.ShapeDtypeStruct((E, nPB, sum_wh, wwmax, PB), dtype),
-            jax.ShapeDtypeStruct((E, 2 * L, P), jnp.int32),
+            jax.ShapeDtypeStruct((E, 2 * L, Pp), jnp.int32),
         ],
         grid=(E, nPB),
         in_specs=[
@@ -717,5 +755,5 @@ def corr_build_windows_light_pallas(f1, f2, coords_init, num_levels=4,
         ],
         scratch_shapes=[pltpu.VMEM((Hp0, Wp0, PB), dtype)],
         interpret=interpret,
-    )(f1.reshape(E, P, C), f2, coords_t.astype(jnp.float32))
+    )(_pad_p(f1.reshape(E, P, C), Pp, axis=1), f2, coords_t.astype(jnp.float32))
     return wins, bases, meta, PB
