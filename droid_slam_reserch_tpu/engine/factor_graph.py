@@ -61,7 +61,10 @@ _USE_CORR_WINDOWS = _CORR_IMPL == "windows"
 def _corr_impl():
     if _CORR_IMPL != "auto":
         return _CORR_IMPL
-    return "pallas" if jax.devices()[0].platform != "cpu" else "flat"
+    # the Pallas kernels use pltpu block specs — on any non-TPU backend
+    # (CPU, GPU) they would only interpret or fail to lower, so auto picks
+    # them exclusively on TPU
+    return "pallas" if jax.devices()[0].platform == "tpu" else "flat"
 
 
 def _build_corr_lookup(f1, f2, dtype):
@@ -158,6 +161,10 @@ def _update_op_step(
     lookup = _build_corr_lookup(f1, f2, dtype)
     corr = lookup(coords1.reshape(E, h8 * w8, 2)).reshape(E, h8, w8, -1)
 
+    # padded edges carry kk == num_segments (sentinel): they aggregate into
+    # an extra segment that is sliced away, so GraphAgg's per-frame
+    # scatter-mean (models/update.py:61-68, no edge mask) never dilutes a
+    # real frame's damping with zero-state fake edges
     net, delta, weight, eta, upmask = apply_fn(
         params,
         nets_e[None],
@@ -165,8 +172,10 @@ def _update_op_step(
         corr[None].astype(dtype),
         motn[None].astype(dtype),
         kk,
-        num_segments,
+        num_segments + 1,
     )
+    eta = eta[:, :num_segments]
+    upmask = upmask[:, :num_segments]
 
     target_new = coords1 + delta[0].astype(jnp.float32)
     weight_new = weight[0].astype(jnp.float32)
@@ -214,6 +223,7 @@ def _update_op_step_alt(
         f2_pyr.append(pool2x_fmap(f2_pyr[-1]))
     corr = altcorr_pyramid(f1, f2_pyr, coords1)
 
+    # sentinel segment for padded edges — see _update_op_step
     net, delta, weight, eta, upmask = apply_fn(
         params,
         nets_e[None],
@@ -221,8 +231,10 @@ def _update_op_step_alt(
         corr[None].astype(dtype),
         motn[None].astype(dtype),
         kk,
-        num_segments,
+        num_segments + 1,
     )
+    eta = eta[:, :num_segments]
+    upmask = upmask[:, :num_segments]
 
     target_new = coords1 + delta[0].astype(jnp.float32)
     weight_new = weight[0].astype(jnp.float32)
@@ -297,10 +309,16 @@ def _lowmem_refresh(
             f2_pyr.append(pool2x_fmap(f2_pyr[-1]))
         corr = altcorr_pyramid(f1, f2_pyr, coords1)
 
+        # padded fake edges carry kk == S (sentinel segment, sliced away) so
+        # GraphAgg's per-frame mean never dilutes a real slot's eta/upmask —
+        # with EB padded to the global max chunk size, sparse chunks would
+        # otherwise aggregate mostly zero-state fakes into slot 0
         nets, delta, weight, eta, upmask = apply_fn(
             params, nets[None], inps[ii][None], corr[None].astype(dtype),
-            motn[None].astype(dtype), kk, S,
+            motn[None].astype(dtype), kk, S + 1,
         )
+        eta = eta[:, :S]
+        upmask = upmask[:, :S]
         nets = nets[0]
         target = coords1 + delta[0].astype(jnp.float32)
         weight = weight[0].astype(jnp.float32) * emask[:, None, None, None]
@@ -457,10 +475,13 @@ def _fused_rounds(
             corr = lookup(cflat)
         corr = corr.reshape(E, h8, w8, -1)
 
+        # sentinel segment MW for padded edges — see _update_op_step
         nets, delta, weight, eta, upmask = apply_fn(
             params, nets[None], inps_e[None], corr[None].astype(dtype),
-            motn[None].astype(dtype), kk_a, MW,
+            motn[None].astype(dtype), kk_a, MW + 1,
         )
+        eta = eta[:, :MW]
+        upmask = upmask[:, :MW]
         nets = nets[0]
         target_a = coords1 + delta[0].astype(jnp.float32)
         weight_a = weight[0].astype(jnp.float32) * amask
@@ -641,6 +662,7 @@ class FactorGraph:
         MW = _round_up(t1_eff - m0, self.cfg.window_bucket)
         m0 = max(0, t1_eff - MW)
         kk = np.clip(ii_p - m0, 0, MW - 1).astype(np.int32)
+        kk[n:] = MW  # sentinel segment — padded edges never touch real frames
         cams = ((ii_p == jj_p) & video.stereo).astype(np.int32)
 
         # pad edge state
@@ -771,6 +793,7 @@ class FactorGraph:
         free = np.zeros(MW, bool)
         free[t0 - m0 : t1 - m0] = True
         kk_a = np.clip(ii_al, 0, MW - 1).astype(np.int32)
+        kk_a[n:] = MW  # sentinel segment for padded edges
         active_mask = np.arange(n_pad) < n
         has_edge = np.zeros(MW, bool)
         has_edge[self.ii - m0] = True
@@ -835,6 +858,7 @@ class FactorGraph:
         MW = _round_up(t1_eff - m0, self.cfg.window_bucket)
         m0 = max(0, t1_eff - MW)
         kk = np.clip(ii_p - m0, 0, MW - 1).astype(np.int32)
+        kk[n:] = MW  # sentinel segment for padded edges
         cams = ((ii_p == jj_p) & video.stereo).astype(np.int32)
 
         h8, w8 = video.h8, video.w8
@@ -890,7 +914,7 @@ class FactorGraph:
         emask_ck = np.zeros((nC, EB), np.float32)
         pos_ck = np.zeros((nC, EB), np.int64)  # edge index (sorted order)
         frame_ck = np.full((nC, s), t, np.int32)  # sentinel = t (no edges)
-        kk_ck = np.zeros((nC, EB), np.int32)
+        kk_ck = np.full((nC, EB), s, np.int32)  # sentinel segment = s
         ofs = 0
         for c in range(nC):
             n = int(counts[c])

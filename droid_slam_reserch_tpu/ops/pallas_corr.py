@@ -515,10 +515,18 @@ def corr_lookup_windows_pallas(wins, bases, meta, coords, radius=3,
 
 
 def window_drift_ok_pallas(bases, meta, coords, radius=3):
-    """True iff every pixel's 8-tap span stays inside its cached window at
-    every level, so the windowed lookup equals the full one (the clip in
-    both kernels makes fully-out-of-image pixels read border zeros either
-    way — those never need the fallback)."""
+    """True iff the windowed lookup equals the full blocked one for every
+    pixel at every level.
+
+    Both kernels clip the 8-tap span start: the blocked path to
+    [0, Hp - 8] of the padded level, the windowed path to [0, WH - 8] of
+    the cached window (padded rows [by, by + WH)).  An out-of-tolerance
+    span (sy outside [0, WH - 8]) is therefore only safe when both clips
+    land on the SAME padded rows: at the top that requires the pixel fully
+    above the image (yl <= 0) AND the cached base clipped to the same edge
+    (by == 0) — an interior base would clip onto real volume rows while
+    the blocked path reads the zero border; symmetrically at the bottom
+    (yl >= Hp - 8 and by == Hp - WH)."""
     coords = jax.lax.stop_gradient(coords)
     bases = bases[:, :, : coords.shape[1]]  # drop the 128-alignment pad
     ok = jnp.bool_(True)
@@ -530,12 +538,14 @@ def window_drift_ok_pallas(bases, meta, coords, radius=3):
         xl = jnp.floor(c[..., 0]).astype(jnp.int32) + (_PPAD - radius)
         by = bases[:, 2 * lvl, :]
         bx = bases[:, 2 * lvl + 1, :]
-        # clip like the kernels: below-range taps that land entirely in the
-        # zero border are fine in both paths
         sy = yl - by
         sx = xl - bx
-        bad_y = ((sy < 0) & (yl > 0)) | ((sy > WH - 8) & (yl < Hp - 8))
-        bad_x = ((sx < 0) & (xl > 0)) | ((sx > WW - 8) & (xl < Wp - 8))
+        bad_y = ((sy < 0) & ((yl > 0) | (by > 0))) | (
+            (sy > WH - 8) & ((yl < Hp - 8) | (by < Hp - WH))
+        )
+        bad_x = ((sx < 0) & ((xl > 0) | (bx > 0))) | (
+            (sx > WW - 8) & ((xl < Wp - 8) | (bx < Wp - WW))
+        )
         ok = ok & ~jnp.any(bad_y | bad_x)
     return ok
 

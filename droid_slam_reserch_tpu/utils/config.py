@@ -105,8 +105,9 @@ ETH3D_CONFIG = DroidConfig(
 
 
 def resolve_pallas_ba(cfg):
-    """cfg.use_pallas_ba gated to TPU — Pallas kernels only interpret on
-    CPU, so the XLA block builder stays the CPU path."""
+    """cfg.use_pallas_ba gated to TPU — the kernels use pltpu block specs,
+    which only interpret on CPU and fail to lower on GPU, so the XLA block
+    builder is the path on every non-TPU backend."""
     import jax
 
-    return bool(cfg.use_pallas_ba) and jax.devices()[0].platform != "cpu"
+    return bool(cfg.use_pallas_ba) and jax.devices()[0].platform == "tpu"

@@ -398,6 +398,77 @@ class TestPallasCorrLookup:
         c2 = c0 + 12.0
         assert not bool(window_drift_ok_pallas(bases, meta, c2))
 
+    def test_window_drift_out_of_image_interior_base(self):
+        """Out-of-image drift with an INTERIOR cached base must trip the
+        fallback: the windowed kernel's clip would read real volume rows
+        where the full blocked lookup reads the zero border (advisor
+        finding, round 3).  Property checked: drift_ok == True implies
+        windowed == full, including coords that leave the image."""
+        import jax
+        import jax.numpy as jnp
+
+        from droid_slam_reserch_tpu.ops.pallas_corr import (
+            corr_build_pmajor_pallas,
+            corr_extract_windows_pallas,
+            corr_lookup_blocked_pallas,
+            corr_lookup_windows_pallas,
+            window_drift_ok_pallas,
+        )
+
+        E, H, W, Ch = 1, 16, 24, 16
+        P = H * W
+        f1 = 0.3 * jax.random.normal(jax.random.PRNGKey(0), (E, H, W, Ch))
+        f2 = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (E, H, W, Ch))
+
+        # round-0 coords interior (y = 7) -> cached base lands interior
+        c0 = jnp.stack(
+            [jnp.full((E, P), 12.0), jnp.full((E, P), 7.0)], axis=-1
+        )
+        levels, meta, _ = corr_build_pmajor_pallas(
+            f1, f2, dtype=jnp.float32, block_p=128, interpret=True
+        )
+        wins, bases = corr_extract_windows_pallas(levels, meta, c0, interpret=True)
+
+        # drift fully above the image: blocked lookup reads border zeros,
+        # the cached window (interior base) would clip onto real rows
+        c_out = c0.at[..., 1].set(-6.0)
+        assert not bool(window_drift_ok_pallas(bases, meta, c_out))
+        full = np.asarray(
+            corr_lookup_blocked_pallas(levels, meta, c_out, interpret=True)
+        )
+        winned = np.asarray(
+            corr_lookup_windows_pallas(wins, bases, meta, c_out, interpret=True)
+        )
+        # sanity: the fallback is genuinely needed here
+        assert np.abs(winned - full).max() > 1e-4
+
+        # soundness sweep: random drifts (in- and out-of-image); whenever the
+        # check says ok, the windowed lookup must equal the full one
+        cg = jnp.stack(
+            jnp.meshgrid(jnp.arange(W, dtype=jnp.float32),
+                         jnp.arange(H, dtype=jnp.float32), indexing="xy"),
+            -1,
+        ).reshape(1, P, 2)
+        wins_g, bases_g = corr_extract_windows_pallas(
+            levels, meta, cg, interpret=True
+        )
+        for seed in range(6):
+            drift = jax.random.uniform(
+                jax.random.PRNGKey(10 + seed), (1, P, 2),
+                minval=-10.0, maxval=10.0,
+            )
+            c = cg + drift
+            if bool(window_drift_ok_pallas(bases_g, meta, c)):
+                fu = np.asarray(
+                    corr_lookup_blocked_pallas(levels, meta, c, interpret=True)
+                )
+                wi = np.asarray(
+                    corr_lookup_windows_pallas(
+                        wins_g, bases_g, meta, c, interpret=True
+                    )
+                )
+                np.testing.assert_allclose(wi, fu, rtol=1e-5, atol=1e-6)
+
     def test_fused_build_windows_matches_separate(self):
         """corr_build_windows_pallas == build + extract run separately."""
         import jax
