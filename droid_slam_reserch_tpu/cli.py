@@ -502,17 +502,19 @@ def cmd_train(args):
         put_rep = jnp.asarray
 
     params, opt_state = init_train_state(cfg, image_size=cfg.image_size)
+    start_step = 0
     if args.ckpt:
-        data = np.load(args.ckpt, allow_pickle=True)
-        params = jax.tree_util.tree_map(jnp.asarray, data["params"].item())
+        from .train import load_ckpt
+
+        params, opt2, start_step = load_ckpt(args.ckpt)
+        if opt2 is not None:
+            # full resume: Adam moments + schedule position + loop step
+            # (reference train.py:57-58 restores weights only)
+            opt_state = opt2
     if use_dp:
         params = jax.device_put(params, rep_sh)
         opt_state = jax.device_put(opt_state, rep_sh)
     logger = Logger(cfg.name)
-    # restart draws must be SHARED across processes (all replicas run the
-    # same number of accumulation passes per optimizer step, like DDP's
-    # lockstep backward) — seed deliberately excludes process_index
-    rng = np.random.default_rng(12345)
     restart_prob = getattr(args, "restart_prob", 0.2)
     # fixed edge pad: covers the r=2 temporal graph AND the covisibility
     # sampler's num_edges=24 (step.py:205 silently truncates past e_pad)
@@ -523,13 +525,16 @@ def cmd_train(args):
     stop = threading.Event()
 
     def producer():
-        prng = np.random.default_rng(54321 + jax.process_index())
-        # graph sampling must agree across processes (one graph per GLOBAL
-        # batch, like the single-process loop shares one graph per batch),
-        # so its rng is seeded without process_index
-        grng = np.random.default_rng(98765)
+        # rngs are seeded PER STEP INDEX (not stateful across the run) so a
+        # resumed run replays the exact data order of an uninterrupted one:
+        # item sampling varies by process, graph sampling must agree across
+        # processes (one graph per GLOBAL batch, like the single-process
+        # loop shares one graph per batch) so it excludes process_index
+        t = start_step
         try:
             while not stop.is_set():
+                prng = np.random.default_rng((54321, jax.process_index(), t))
+                grng = np.random.default_rng((98765, t))
                 idx = prng.integers(0, len(db), size=cfg.batch)
                 items = [db[int(i)] for i in idx]
                 images = np.stack([x[0] for x in items])
@@ -538,6 +543,7 @@ def cmd_train(args):
                 intr = np.stack([x[3] for x in items])
                 ii, jj, emask = sample_frame_graph(
                     grng, poses, disps, intr, cfg.n_frames, e_pad)
+                t += 1
                 while not stop.is_set():
                     try:
                         q.put((images, poses, disps, intr, ii, jj, emask),
@@ -564,10 +570,14 @@ def cmd_train(args):
                 raise RuntimeError("data producer failed") from item
             return item
 
-    total = 0
+    total = start_step
     try:
         while total < cfg.steps:
             images, poses, disps, intr, ii, jj, emask = next_item()
+            # restart draws must be SHARED across processes (all replicas
+            # run the same number of accumulation passes per optimizer
+            # step, like DDP's lockstep backward) and replayable on resume
+            rng = np.random.default_rng((12345, total))
             if n_proc > 1:
                 # one graph per global batch: the covisibility graph depends
                 # on local data, so take process 0's for every replica
@@ -609,9 +619,11 @@ def cmd_train(args):
 
             logger.push({k: float(v) for k, v in metrics.items()})
             total += 1
-            if total % 10000 == 0 and jax.process_index() == 0:
-                np.savez(f"checkpoints/{cfg.name}_{total:06d}.npz",
-                         params=jax.tree_util.tree_map(np.asarray, params))
+            if total % args.save_every == 0 and jax.process_index() == 0:
+                from .train import save_ckpt
+
+                save_ckpt(f"checkpoints/{cfg.name}_{total:06d}.npz",
+                          params, opt_state, total)
     finally:
         stop.set()
 
@@ -700,6 +712,10 @@ def main(argv=None):
     p = sub.add_parser("train")
     p.add_argument("--datapath", required=True)
     p.add_argument("--ckpt", default=None, help="npz checkpoint to resume from")
+    p.add_argument("--save_every", type=int, default=10000,
+                   help="checkpoint every N steps (params + optimizer state "
+                        "+ step; reference train.py:134-136 saves weights "
+                        "only)")
     p.add_argument("--name", default="droid")
     p.add_argument("--lr", type=float, default=2.5e-4)
     p.add_argument("--steps", type=int, default=250000)

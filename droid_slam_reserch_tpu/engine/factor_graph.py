@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ba.solver import ba_iterations, schur_pairs
-from ..geom import projective_transform, coords_grid
+from ..geom import frame_distance, projective_transform, coords_grid
 from ..ops.corr import (
     altcorr_pyramid,
     build_pyramid_flat,
@@ -346,7 +346,8 @@ from ..models.update import cvx_upsample as cvx_upsample_fn  # noqa: E402
 
 @partial(
     jax.jit,
-    static_argnames=("apply_fn", "rounds", "ba_iters", "dtype", "use_pallas"),
+    static_argnames=("apply_fn", "rounds", "ba_iters", "dtype", "use_pallas",
+                     "motion_only"),
 )
 def _fused_rounds(
     apply_fn,
@@ -373,14 +374,17 @@ def _fused_rounds(
     free_mask,
     bucket_edges,
     bucket_mask,
+    cull_ij,
     rounds,
     ba_iters,
     lm,
     ep,
     damping_eps,
     min_depth,
+    beta,
     dtype=jnp.float32,
     use_pallas=False,
+    motion_only=False,
 ):
     """K rounds of (update op + dense BA) as ONE XLA program.
 
@@ -496,7 +500,7 @@ def _fused_rounds(
             poses, disps, intr, disps_sens_win, target_all, weight_all, eta_ba,
             ii_all, jj_all, free_mask, bucket_edges, bucket_mask,
             iterations=ba_iters, lm=lm, ep=ep, min_depth=min_depth,
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, motion_only=motion_only,
         )
         disps = jnp.maximum(disps, 0.001)
         return poses, disps, damping, nets, target_a, weight_a, upmask[0]
@@ -507,10 +511,20 @@ def _fused_rounds(
         0, rounds, round_body,
         (poses_win, disps_win, damping_win, nets_e, target_a, weight0, upmask0),
     )
+    # the keyframe-culling distance rides the SAME program: the frontend's
+    # post-update d(t1-3, t1-2) check (reference droid_frontend.py:56-64)
+    # used to be its own dispatch + host sync per keyframe — here the
+    # bidirectional mean is computed on the final state in-graph and the
+    # host reads it off this program's output (one sync per keyframe total)
+    d2 = frame_distance(
+        poses, disps, intr, cull_ij, cull_ij[::-1],
+        beta=beta, min_depth=min_depth,
+    )
+    d_cull = 0.5 * (d2[0] + d2[1])
     # the LAST round's per-frame upsampling mask rides out of the fused loop
     # so `--upsample` keeps the one-dispatch path (reference upsamples inside
     # each update, factor_graph.py:246-248; the final mask is what persists)
-    return poses, disps, damping, nets, target_a, weight_a, upmask
+    return poses, disps, damping, nets, target_a, weight_a, upmask, d_cull
 
 
 class FactorGraph:
@@ -723,16 +737,22 @@ class FactorGraph:
 
         self.age += 1
 
-    def update_fused(self, rounds, t0=None, t1=None, itrs=2, use_inactive=True):
+    def update_fused(self, rounds, t0=None, t1=None, itrs=2, use_inactive=True,
+                     cull_pair=None, motion_only=False):
         """K rounds of (update op + DBA) in one device program.
 
         Semantics match `rounds` successive update() calls (reference
         droid_frontend.py:52-53 loops); the host pays a single dispatch.
         When cfg.upsample is set, the final round's upmask upsamples the
         source frames' disparities (reference factor_graph.py:246-248).
+
+        cull_pair: optional (i, j) global frame pair; the bidirectional
+        flow distance between them on the FINAL state is computed inside
+        the same program and returned as a device scalar — the frontend's
+        keyframe-culling decision reads it without a second dispatch.
         """
         if len(self.ii) == 0 or rounds == 0:
-            return
+            return None
         video = self.video
         cfg = self.cfg
         n, n_pad, ii_p, jj_p = self._padded_edges()
@@ -810,11 +830,19 @@ class FactorGraph:
             m0, pad=pad, MW=MW,
         )
 
+        if cull_pair is not None:
+            cull_ij = np.asarray(
+                [cull_pair[0] - m0, cull_pair[1] - m0], np.int32
+            )
+        else:
+            cull_ij = np.zeros(2, np.int32)
+
         sl = slice(m0, m0 + MW)
         from ..utils.timing import section
 
         with section("update_fused.device"):
-            poses, disps, damping, nets, target_out, weight_out, upmask = _fused_rounds(
+            (poses, disps, damping, nets, target_out, weight_out, upmask,
+             d_cull) = _fused_rounds(
                 self.update_apply, self.params,
                 poses_w, disps_w, dsens_w, damping_w, video.intrinsics[0],
                 fmap1_e, fmap2_e, nets_e, inps_e, target_a,
@@ -822,10 +850,12 @@ class FactorGraph:
                 jnp.asarray(kk_a), jnp.asarray(active_mask), jnp.asarray(has_edge),
                 jnp.asarray(ii_all), jnp.asarray(jj_all), tgt_i, wgt_i,
                 jnp.asarray(free), jnp.asarray(be), jnp.asarray(bm),
+                jnp.asarray(cull_ij),
                 rounds=rounds, ba_iters=itrs,
                 lm=cfg.frontend_lm, ep=cfg.frontend_ep,
                 damping_eps=cfg.damping_eps, min_depth=cfg.min_depth,
-                dtype=self.dtype, use_pallas=resolve_pallas_ba(cfg),
+                beta=cfg.beta, dtype=self.dtype,
+                use_pallas=resolve_pallas_ba(cfg), motion_only=motion_only,
             )
 
         if _os.environ.get("DROID_TIMING"):
@@ -843,6 +873,7 @@ class FactorGraph:
                 jnp.asarray(ux), upmask[jnp.asarray(ux - m0)].astype(jnp.float32)
             )
         self.age += rounds
+        return d_cull if cull_pair is not None else None
 
     def probe_quality(self):
         """Run the update op once (no BA) and return per-edge summed
@@ -992,14 +1023,20 @@ class FactorGraph:
         self.add_factors(ii[keep], jj[keep])
 
     def add_proximity_factors(self, t0=0, t1=0, rad=2, nms=2, beta=0.25,
-                              thresh=16.0, remove=False):
-        """Distance-based edge selection with NMS (reference :315-379)."""
+                              thresh=16.0, remove=False, dmat=None):
+        """Distance-based edge selection with NMS (reference :315-379).
+
+        dmat: optional precomputed [len(ix), len(jx)] distance matrix (the
+        frontend's async prefetch); None computes it synchronously."""
         t = self.video.counter
         ix = np.arange(t0, t)
         jx = np.arange(t1, t)
         if len(ix) == 0 or len(jx) == 0:
             return
-        d = self.video.distance_matrix(t0, t1, t, beta=beta)  # [len(ix), len(jx)]
+        if dmat is not None and dmat.shape == (len(ix), len(jx)):
+            d = np.asarray(dmat)
+        else:
+            d = self.video.distance_matrix(t0, t1, t, beta=beta)
 
         # native greedy NMS selection when the library is available
         from .. import native

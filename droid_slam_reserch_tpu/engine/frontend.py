@@ -32,10 +32,40 @@ class Frontend:
         self.frontend_thresh = config.frontend_thresh
         self.frontend_radius = config.frontend_radius
 
-    def _run_updates(self, rounds, t0=None):
+    def _run_updates(self, rounds, t0=None, cull_pair=None):
         """rounds x (update op + DBA) as one fused device program; the final
-        round's upmask drives upsampling when cfg.upsample is set."""
-        self.graph.update_fused(rounds, t0=t0, use_inactive=True)
+        round's upmask drives upsampling when cfg.upsample is set.  Returns
+        the in-graph culling distance when cull_pair is given."""
+        return self.graph.update_fused(
+            rounds, t0=t0, use_inactive=True, cull_pair=cull_pair
+        )
+
+    def _proximity_key(self, t1):
+        return (t1 - 5, max(t1 - self.frontend_window, 0), t1)
+
+    def _prefetch_proximity(self):
+        """Dispatch the NEXT keyframe's proximity distance matrix now and
+        start its host transfer: its inputs (poses/disps, including the
+        extrapolated next slot) cannot change before that keyframe arrives,
+        so the per-keyframe edge-selection sync becomes an overlapped copy
+        (SURVEY.md "Hard parts" #4)."""
+        t0q, t1q, t_next = self._proximity_key(self.t1 + 1)
+        if t0q < 0:
+            self._prox_prefetch = None
+            return
+        dm = self.video.distance_matrix_async(t0q, t1q, t_next, beta=self.beta)
+        try:
+            dm.copy_to_host_async()
+        except Exception:
+            pass
+        self._prox_prefetch = ((t0q, t1q, t_next), dm)
+
+    def _take_prefetched_proximity(self):
+        pre = getattr(self, "_prox_prefetch", None)
+        self._prox_prefetch = None
+        if pre is not None and pre[0] == self._proximity_key(self.t1):
+            return np.asarray(pre[1])
+        return None
 
     def __update(self):
         """Add edges, perform update (reference :37-75)."""
@@ -51,6 +81,7 @@ class Frontend:
             self.t1 - 5, max(self.t1 - self.frontend_window, 0),
             rad=self.frontend_radius, nms=self.frontend_nms,
             thresh=self.frontend_thresh, beta=self.beta, remove=True,
+            dmat=self._take_prefetched_proximity(),
         )
 
         # RGB-D: seed new keyframe's disparity from the sensor (reference :49-50)
@@ -60,13 +91,12 @@ class Frontend:
             jnp.where(dsens > 0, dsens, v.disps[self.t1 - 1])
         )
 
-        self._run_updates(self.iters1)
-
-        # keyframe culling by flow distance (reference :56-64)
-        d = self.video.distance(
-            [self.t1 - 3], [self.t1 - 2], beta=self.beta, bidirectional=True
+        # keyframe culling by flow distance (reference :56-64); the distance
+        # rides the fused program — its float() is the ONE host sync per kf
+        d_cull = self._run_updates(
+            self.iters1, cull_pair=(self.t1 - 3, self.t1 - 2)
         )
-        if float(d[0]) < self.keyframe_thresh:
+        if float(d_cull) < self.keyframe_thresh:
             self.graph.rm_keyframe(self.t1 - 2)
             self.video.counter -= 1
             self.t1 -= 1
@@ -78,6 +108,7 @@ class Frontend:
         v.disps = v.disps.at[self.t1].set(jnp.mean(v.disps[self.t1 - 1]))
 
         self.video.dirty[int(self.graph.ii.min()) : self.t1] = True
+        self._prefetch_proximity()
 
     def __initialize(self):
         """Bootstrap the map (reference :77-110)."""
@@ -101,6 +132,7 @@ class Frontend:
         self.is_initialized = True
         self.video.dirty[: self.t1] = True
         self.graph.rm_factors(self.graph.ii < self.warmup - 4, store=True)
+        self._prefetch_proximity()
 
     def __call__(self):
         from ..utils.timing import section

@@ -59,8 +59,13 @@ class TrajectoryFiller:
         graph.add_factors(t0, np.arange(N, N + M))
         graph.add_factors(t1, np.arange(N, N + M))
 
-        for _ in range(6):
-            graph.update(N, N + M, motion_only=True)
+        # 6 motion-only (GRU + MoBA) rounds fused into ONE device program —
+        # the reference (and the round-3 build) dispatched each round
+        # separately (reference trajectory_filler.py:67-72), paying ~12
+        # host round-trips per 16-frame chunk; parity with the sequential
+        # path is tested (tests/test_engine.py)
+        graph.update_fused(6, t0=N, t1=N + M, use_inactive=False,
+                           motion_only=True)
 
         out = np.asarray(v.poses[N : N + M])
         v.counter = N

@@ -180,6 +180,30 @@ class Video:
         d = _distance_chunked(self.poses, self.disps, intr, iip, jjp, b)
         return np.asarray(d[:n])
 
+    def distance_matrix_async(self, t0, t1, t, beta=0.3):
+        """Dispatch the pairwise bidirectional distance matrix [t0,t) x
+        [t1,t) WITHOUT syncing; returns a lazy device array.
+
+        The frontend prefetches the next keyframe's proximity matrix with
+        this at the end of each update (its inputs — poses/disps — cannot
+        change before the next keyframe arrives), so the per-keyframe
+        host sync the reference pays for edge selection
+        (factor_graph.py:326) becomes an overlapped transfer."""
+        ix = np.arange(t0, t)
+        jx = np.arange(t1, t)
+        ii, jj = np.meshgrid(ix, jx, indexing="ij")
+        ii = ii.reshape(-1)
+        jj = jj.reshape(-1)
+        n = len(ii)
+        b = self.cfg.beta if beta is None else beta
+        ii2 = np.concatenate([ii, jj]).astype(np.int32)
+        jj2 = np.concatenate([jj, ii]).astype(np.int32)
+        pad = _round_up(max(2 * n, 1), _DIST_CHUNK) - 2 * n
+        iip = jnp.asarray(np.concatenate([ii2, np.zeros(pad, np.int32)]))
+        jjp = jnp.asarray(np.concatenate([jj2, np.zeros(pad, np.int32)]))
+        d = _distance_chunked(self.poses, self.disps, self.intrinsics[0], iip, jjp, b)
+        return (0.5 * (d[:n] + d[n : 2 * n])).reshape(len(ix), len(jx))
+
     def distance_matrix(self, t0, t1, t, beta=0.3):
         """Pairwise distances [t0,t) x [t1,t) (used by proximity edges).
 
@@ -187,11 +211,7 @@ class Video:
         default `video.distance(ii, jj, beta=beta)` call from proximity
         selection (reference depth_video.py:160-182, factor_graph.py:326).
         """
-        ix = np.arange(t0, t)
-        jx = np.arange(t1, t)
-        ii, jj = np.meshgrid(ix, jx, indexing="ij")
-        d = self.distance(ii.reshape(-1), jj.reshape(-1), beta=beta, bidirectional=True)
-        return d.reshape(len(ix), len(jx))
+        return np.asarray(self.distance_matrix_async(t0, t1, t, beta=beta))
 
     # -------------------------------------------------------------------- BA
 
@@ -272,17 +292,33 @@ class Video:
     def _resolved_ba_shards(self, MW, motion_only):
         """cfg.ba_shards with -1 = auto: shard large global-BA windows over
         every local device (frontend-sized windows and motion-only solves
-        stay single-device — the pose-system exchange would dominate)."""
+        stay single-device — the pose-system exchange would dominate).
+
+        Any MW >= n shards (ranges are edge-balanced, not equal-length);
+        a decline other than "window too small / motion-only" is logged
+        once so capability downgrades are never silent."""
         import jax
+
+        from ..utils.log import log_once
 
         s = self.cfg.ba_shards
         if s == -1:
             n = jax.local_device_count()
-            if n > 1 and not motion_only and MW >= 128 and MW % n == 0:
-                return n
+            if n > 1 and not motion_only and MW >= 128:
+                if MW >= n:
+                    return n
+                log_once(
+                    f"ba_auto_shard_decline_{MW}_{n}",
+                    f"auto BA sharding declined: window MW={MW} < {n} devices",
+                )
             return 0
-        if s > 1 and not motion_only and MW % s == 0:
-            return s
+        if s > 1 and not motion_only:
+            if MW >= s:
+                return s
+            log_once(
+                f"ba_shard_decline_{MW}_{s}",
+                f"BA sharding declined: window MW={MW} < ba_shards={s}",
+            )
         return 0
 
     def _ba_sharded(self, sl, MW, ii_l, jj_l, target, weight, eta,
@@ -300,7 +336,7 @@ class Video:
             self._kf_mesh = make_mesh(
                 (shards,), ("kf",), devices=jax.devices()[:shards]
             )
-        ii_s, jj_s, tgt_s, wgt_s, be_s, bm_s = partition_edges(
+        ii_s, jj_s, tgt_s, wgt_s, be_s, bm_s, k0_s, rlen_s = partition_edges(
             ii_l, jj_l, np.asarray(target), np.asarray(weight), MW,
             shards, edge_bucket=cfg.edge_bucket,
         )
@@ -309,6 +345,7 @@ class Video:
             self.disps_sens[sl], jnp.asarray(tgt_s), jnp.asarray(wgt_s), eta,
             jnp.asarray(ii_s), jnp.asarray(jj_s), jnp.asarray(free),
             jnp.asarray(be_s), jnp.asarray(bm_s),
+            jnp.asarray(k0_s), jnp.asarray(rlen_s),
             iterations=iterations, lm=lm, ep=ep, alpha=cfg.rgbd_alpha,
             min_depth=cfg.min_depth,
         )

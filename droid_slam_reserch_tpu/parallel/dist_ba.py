@@ -2,17 +2,34 @@
 
 The TPU-native answer to "global BA over 500+ keyframes" (SURVEY.md §2.7
 "map/sequence parallelism over keyframes"): the window's depth buckets are
-sharded contiguously across devices; every edge lives on the device that
-owns its source frame's depth bucket, so
+split into contiguous per-shard ranges; every edge lives on the shard that
+owns its source frame's depth bucket, so per-edge GN blocks and the depth
+Schur elimination are fully local.  Two design rules make it scale:
 
-- per-edge GN blocks and the depth Schur elimination are fully local,
-- only the small pose system (6 MW x 6 MW blocks + rhs) crosses devices,
-  reduced with one psum over the mesh axis,
-- the pose Cholesky solve is replicated (cheap), and the depth
-  back-substitution is again local.
+1. **Edge-balanced partitioning.**  Range boundaries are chosen so every
+   shard owns ~nE/S edges (not MW/S buckets) — one hot keyframe no longer
+   makes every shard pay the global-max padding (the round-3 scaling
+   anti-result).  Ranges have different lengths; shapes stay static by
+   padding rows to the longest range and masking.
+2. **Root-only pose solve.**  Per-edge pose blocks and per-bucket Schur
+   blocks are all_gathered in block-sparse form (~constant bytes because
+   the partitioning is edge-balanced), but only shard 0 scatters them into
+   the dense [6MW, 6MW] system and runs the damped Cholesky; the solution
+   is broadcast with one psum of dx (73 KB at MW=512).  The O(MW^2)
+   assembly and O(MW^3) factorization are on the critical path either way
+   — replicating them buys nothing and (on shared-core virtual meshes)
+   multiplies their CPU cost by S.
+
+Comm volume per GN iteration (fp32): all_gather pose blocks
+4*nE*(36+2)*4 B, all_gather Schur blocks ~MW*(R+1)^2*36*4 B + indices,
+psum v/vE/dx 3*6*MW*4 B.  At MW=512, nE=1021, R=4 that is ~5.6 MB —
+sub-millisecond on ICI; the shard-local block build + Schur einsum
+(O(nE*HW) and O(MW*R^2*HW) FLOPs) is what shards.
 
 ``partition_edges`` does the host-side bucketing; ``dist_ba_solve`` is the
 shard_map program.  Numerically identical to ba_solve (tested).
+Reference seam replaced: the serial CPU Schur pairing + fp64 Eigen solve,
+src/droid_kernels.cu:1244-1272,1376-1413.
 """
 from functools import partial
 
@@ -27,55 +44,71 @@ from ..ba.system import build_system_blocks
 from ..lie import se3_retr
 
 
-def partition_edges(ii, jj, target, weight, MW, n_shards, edge_bucket=8):
-    """Host-side: group edges by owning shard (contiguous depth buckets).
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
 
-    Shard s owns buckets [s*MW/n, (s+1)*MW/n); every edge goes to the shard
-    owning its source frame ii.  Each shard's edge list is padded to the
-    common bucketed length with (first-bucket, first-bucket) zero-weight
-    self-edges.  Returns stacked arrays with a leading shard axis plus the
-    per-shard local bucket tables.
+
+def partition_edges(ii, jj, target, weight, MW, n_shards, edge_bucket=8):
+    """Host-side: split [0, MW) into contiguous bucket ranges with ~equal
+    EDGE counts and group edges by owning shard.
+
+    Each shard's edge list is padded to the common bucketed length with
+    (first-owned-bucket, first-owned-bucket) zero-weight self-edges; bucket
+    tables are local (rows = owned buckets, padded to the longest range).
+
+    Returns (ii_s, jj_s, tgt_s, wgt_s, be_s, bm_s, k0, rlen) with a leading
+    shard axis on the first six and per-shard range start/length in the
+    last two ([S] int32 each).
     """
-    assert MW % n_shards == 0, (MW, n_shards)
-    mw_local = MW // n_shards
+    assert MW >= n_shards, (MW, n_shards)
     ii = np.asarray(ii)
     jj = np.asarray(jj)
+    nE = len(ii)
 
-    groups = [np.where((ii >= s * mw_local) & (ii < (s + 1) * mw_local))[0] for s in range(n_shards)]
+    counts = np.bincount(ii, minlength=MW) if nE else np.zeros(MW, np.int64)
+    cum = np.cumsum(counts)
+    bounds = [0]
+    for s in range(1, n_shards):
+        tgt = int(round(s * nE / n_shards))
+        b = int(np.searchsorted(cum, tgt))
+        b = max(b, bounds[-1] + 1)          # at least one bucket per shard
+        b = min(b, MW - (n_shards - s))     # leave buckets for later shards
+        bounds.append(b)
+    bounds.append(MW)
+    k0 = np.asarray(bounds[:-1], np.int32)
+    k1 = np.asarray(bounds[1:], np.int32)
+    rlen = (k1 - k0).astype(np.int32)
+    max_range = int(rlen.max())
+
+    groups = [np.where((ii >= k0[s]) & (ii < k1[s]))[0] for s in range(n_shards)]
     n_max = max(max((len(g) for g in groups), default=1), 1)
-    n_max = ((n_max + edge_bucket - 1) // edge_bucket) * edge_bucket
+    n_max = _round_up(n_max, edge_bucket)
+    Rmax = int(counts.max()) if nE else 1
+    Rmax = max(Rmax, 1)
 
     ii_s = np.zeros((n_shards, n_max), np.int32)
     jj_s = np.zeros((n_shards, n_max), np.int32)
-    tgt_s = np.zeros((n_shards, n_max) + target.shape[1:], np.float32)
-    wgt_s = np.zeros((n_shards, n_max) + weight.shape[1:], np.float32)
-    be_list, bm_list = [], []
-    Rmax = 1
+    tgt_s = np.zeros((n_shards, n_max) + tuple(target.shape[1:]), np.float32)
+    wgt_s = np.zeros((n_shards, n_max) + tuple(weight.shape[1:]), np.float32)
+    be_s = np.zeros((n_shards, max_range, Rmax), np.int32)
+    bm_s = np.zeros((n_shards, max_range, Rmax), bool)
     for s, g in enumerate(groups):
         n = len(g)
         ii_s[s, :n] = ii[g]
         jj_s[s, :n] = jj[g]
-        ii_s[s, n:] = s * mw_local  # padding anchored in an owned bucket
-        jj_s[s, n:] = s * mw_local
+        ii_s[s, n:] = k0[s]  # padding anchored in the first owned bucket
+        jj_s[s, n:] = k0[s]
         if n:
             tgt_s[s, :n] = np.asarray(target[g])
             wgt_s[s, :n] = np.asarray(weight[g])
-        be, bm = schur_pairs(ii_s[s] - s * mw_local, mw_local)
-        be_list.append(be)
-        bm_list.append(bm)
-        Rmax = max(Rmax, be.shape[1])
-    be_s = np.zeros((n_shards, mw_local, Rmax), np.int32)
-    bm_s = np.zeros((n_shards, mw_local, Rmax), bool)
-    for s in range(n_shards):
-        # drop padded edges from the bucket tables (they carry zero weight
-        # anyway, but keeping them out makes the mask exact)
-        be_s[s, :, : be_list[s].shape[1]] = be_list[s]
-        bm_s[s, :, : bm_list[s].shape[1]] = bm_list[s]
-        n = len(groups[s])
+        be, bm = schur_pairs(ii_s[s] - k0[s], int(rlen[s]), max_deg=Rmax)
+        be_s[s, : rlen[s]] = be
+        bm_s[s, : rlen[s]] = bm
+        # padded edges carry zero weight, but keep the mask exact
         bm_s[s] &= be_s[s] < max(n, 1)
         if n == 0:
             bm_s[s] &= False
-    return ii_s, jj_s, tgt_s, wgt_s, be_s, bm_s
+    return ii_s, jj_s, tgt_s, wgt_s, be_s, bm_s, k0, rlen
 
 
 @partial(
@@ -97,6 +130,8 @@ def dist_ba_solve(
     free_mask,
     bucket_edges_s,
     bucket_mask_s,
+    k0_s,
+    rlen_s,
     iterations=2,
     lm=1e-4,
     ep=0.1,
@@ -114,7 +149,7 @@ def dist_ba_solve(
     """
     MW = poses.shape[0]
     n_shards = mesh.devices.size
-    mw_local = MW // n_shards
+    max_range = bucket_edges_s.shape[1]
     H, W = disps.shape[-2:]
     HW = H * W
 
@@ -122,24 +157,41 @@ def dist_ba_solve(
     free = free_mask.astype(jnp.float32)
     free6 = jnp.repeat(free, 6)
 
+    # pad the replicated depth-side arrays by max_range rows so every shard
+    # dynamic-slices a full [k0, k0 + max_range) block without clamping
+    # (rows past a shard's real range are masked out of dz)
+    zpad = jnp.zeros((max_range, H, W))
+    dsens_pad = jnp.concatenate([disps_sens, zpad], axis=0)
+    eta_pad = jnp.concatenate([eta, jnp.ones((max_range, H, W))], axis=0)
+
+    # scatter map for the per-shard dz rows back into the padded buffer
+    # (invalid rows carry dz == 0 — any clipped destination is harmless)
+    dz_rows = jnp.clip(
+        k0_s[:, None].astype(jnp.int32) + jnp.arange(max_range, dtype=jnp.int32)[None],
+        0, MW + max_range - 1,
+    ).reshape(-1)
+
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P()),
+        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis),
+                  P(axis), P(axis), P(axis), P(), P()),
         out_specs=(P(), P(axis)),
-        # the pose system is rebuilt identically on every shard from
-        # all_gathered blocks; the varying-axes checker cannot infer that
-        # all_gather outputs are replicated, so the check is disabled
+        # the psum-broadcast dx is replicated but the varying-axes checker
+        # cannot see through the root-only lax.cond; disable the check
         check_vma=False,
     )
-    def one_iteration(poses, disps, target, weight, ii, jj, bucket_edges, bucket_mask, eta_r):
-        """target/weight/ii/jj/bucket_*: local shard slices (leading axis 1)."""
+    def one_iteration(poses, disps_pad, target, weight, ii, jj,
+                      bucket_edges, bucket_mask, k0_a, rlen_a,
+                      eta_pad, dsens_pad):
+        """target/weight/ii/jj/bucket_*/k0/rlen: local shard slices."""
         target, weight = target[0], weight[0]
         ii, jj = ii[0], jj[0]
         bucket_edges, bucket_mask = bucket_edges[0], bucket_mask[0]
-
+        k0 = k0_a[0]
+        rlen = rlen_a[0]
         shard_id = jax.lax.axis_index(axis)
-        k0 = shard_id * mw_local  # first owned bucket (global index)
+        disps = disps_pad[:MW]
 
         blk = build_system_blocks(
             target[None], weight[None], poses[None], disps[None], intr_full[None],
@@ -151,47 +203,36 @@ def dist_ba_solve(
         Ei, Ej = blk["Ei"][0], blk["Ej"][0]
         Ck, wk = blk["Ck"][0], blk["wk"][0]
 
-        # cross-device exchange of the pose system in BLOCK-SPARSE form:
-        # all_gather the per-edge 6x6 blocks (+ indices) and scatter after —
-        # ~144 B/edge on the wire instead of psum'ing the dense
-        # [MW, MW, 6, 6] Hessian (37.8 MB at MW=512), which does not scale
-        # past a few hundred keyframes replicated per device.
-        blocks = jnp.stack([Hii, Hij, Hji, Hjj], 0)      # [4, nE, 6, 6]
-        bi = jnp.stack([ii, ii, jj, jj], 0)
-        bj = jnp.stack([ii, jj, ii, jj], 0)
-        blocks_g = jax.lax.all_gather(blocks, axis)       # [S, 4, nE, 6, 6]
-        bi_g = jax.lax.all_gather(bi, axis)
-        bj_g = jax.lax.all_gather(bj, axis)
-        Hmat = _scatter_blocks(
-            blocks_g, bi_g, bj_g, jnp.ones(bi_g.shape, bool), MW
-        )
+        # pose rhs: small, scatter locally and psum
         v = jnp.zeros((MW, 6)).at[ii].add(vi).at[jj].add(vj)
         v = jax.lax.psum(v, axis) * free[:, None]
-        A_pose = _mask_fixed(_pose_matrix(Hmat, MW), free6)
-        v_flat = v.reshape(6 * MW)
 
-        # local depth buckets (global ii -> local bucket = ii - k0)
+        # local depth buckets (global ii -> local row = ii - k0)
         ii_loc = ii - k0
-        C = jax.ops.segment_sum(Ck, ii_loc, num_segments=mw_local)
-        w = jax.ops.segment_sum(wk, ii_loc, num_segments=mw_local)
-        dsens = jax.lax.dynamic_slice_in_dim(disps_sens, k0, mw_local).reshape(mw_local, HW)
-        dloc = jax.lax.dynamic_slice_in_dim(disps, k0, mw_local).reshape(mw_local, HW)
-        eta_loc = jax.lax.dynamic_slice_in_dim(eta_r, k0, mw_local).reshape(mw_local, HW)
-        m = (dsens > 0).astype(C.dtype)
+        C = jax.ops.segment_sum(Ck, ii_loc, num_segments=max_range)
+        w = jax.ops.segment_sum(wk, ii_loc, num_segments=max_range)
+        dsl = lambda b: jax.lax.dynamic_slice_in_dim(b, k0, max_range).reshape(max_range, HW)
+        dsens_l = dsl(dsens_pad)
+        dloc = dsl(disps_pad)
+        eta_loc = dsl(eta_pad)
+        m = (dsens_l > 0).astype(C.dtype)
         C = C + m * alpha + (1.0 - m) * eta_loc
-        w = w - m * alpha * (dloc - dsens)
+        w = w - m * alpha * (dloc - dsens_l)
         Q = 1.0 / C
 
-        A_rows = jax.ops.segment_sum(Ei, ii_loc, num_segments=mw_local)
+        rows_real = jnp.arange(max_range, dtype=jnp.int32) < rlen
+        A_rows = jax.ops.segment_sum(Ei, ii_loc, num_segments=max_range)
         Gedges = Ej[bucket_edges] * bucket_mask[..., None, None]
         G = jnp.concatenate([A_rows[:, None], Gedges], axis=1)
         pose_idx = jnp.concatenate(
-            [(jnp.arange(mw_local, dtype=ii.dtype) + k0)[:, None], jj[bucket_edges]],
+            [(jnp.arange(max_range, dtype=ii.dtype) + k0)[:, None], jj[bucket_edges]],
             axis=1,
         )
+        pose_idx = jnp.clip(pose_idx, 0, MW - 1)
         row_ok = (
-            jnp.concatenate([jnp.ones((mw_local, 1), bool), bucket_mask], axis=1)
+            jnp.concatenate([jnp.ones((max_range, 1), bool), bucket_mask], axis=1)
             & free_mask[pose_idx]
+            & rows_real[:, None]
         )
 
         GQ = G * Q[:, None, None, :]
@@ -203,33 +244,53 @@ def dist_ba_solve(
             .at[jnp.where(row_ok, pose_idx, MW).reshape(-1)]
             .add(Ew.reshape(-1, 6))
         )[:MW]
+        vE = jax.lax.psum(vE, axis)
 
-        # same block-sparse exchange for the Schur blocks: gather the
-        # compact [mw_local, R+1, R+1, 6, 6] tensors, scatter once
+        # block-sparse exchange of the pose system: per-edge 6x6 blocks and
+        # per-bucket Schur blocks, ~constant total bytes (edge-balanced)
+        blocks = jnp.stack([Hii, Hij, Hji, Hjj], 0)      # [4, nE, 6, 6]
+        bi = jnp.stack([ii, ii, jj, jj], 0)
+        bj = jnp.stack([ii, jj, ii, jj], 0)
+        blocks_g = jax.lax.all_gather(blocks, axis)       # [S, 4, nE, 6, 6]
+        bi_g = jax.lax.all_gather(bi, axis)
+        bj_g = jax.lax.all_gather(bj, axis)
         Sk_g = jax.lax.all_gather(Sk, axis)
         pi_g = jax.lax.all_gather(pose_idx, axis)
         ok_g = jax.lax.all_gather(pair_ok, axis)
-        S = _scatter_blocks(
-            Sk_g, pi_g[..., :, None], pi_g[..., None, :], ok_g, MW
+
+        # root-only dense assembly + damped Cholesky; dx broadcast by psum
+        def root_solve(_):
+            Hmat = _scatter_blocks(
+                blocks_g, bi_g, bj_g, jnp.ones(bi_g.shape, bool), MW
+            )
+            A_pose = _mask_fixed(_pose_matrix(Hmat, MW), free6)
+            S = _scatter_blocks(
+                Sk_g, pi_g[..., :, None], pi_g[..., None, :], ok_g, MW
+            )
+            S_pose = A_pose - _pose_matrix(S, MW)
+            rhs = v.reshape(6 * MW) - (vE * free[:, None]).reshape(6 * MW)
+            return _damped_solve(S_pose, rhs, lm, ep)
+
+        dx_flat = jax.lax.cond(
+            shard_id == 0, root_solve, lambda _: jnp.zeros(6 * MW), None
         )
-        vE = jax.lax.psum(vE, axis)
+        dx = jax.lax.psum(dx_flat, axis).reshape(MW, 6) * free[:, None]
 
-        S_pose = A_pose - _pose_matrix(S, MW)
-        rhs = v_flat - (vE * free[:, None]).reshape(6 * MW)
-        dx = _damped_solve(S_pose, rhs, lm, ep).reshape(MW, 6)
-        dx = dx * free[:, None]
-
+        # local depth back-substitution
         dx_rows = jnp.where(row_ok[..., None], dx[pose_idx], 0.0)
         Etdx = jnp.einsum("mrah,mra->mh", G, dx_rows)
-        dz = Q * (w - Etdx)
+        dz = Q * (w - Etdx) * rows_real[:, None].astype(Q.dtype)
 
         poses = se3_retr(poses, dx)
-        return poses, dz.reshape(1, mw_local, H, W)
+        return poses, dz.reshape(1, max_range, H, W)
 
+    disps_pad = jnp.concatenate([disps, zpad], axis=0)
     for _ in range(iterations):
         poses, dz = one_iteration(
-            poses, disps, target_s, weight_s, ii_s, jj_s,
-            bucket_edges_s, bucket_mask_s, eta,
+            poses, disps_pad, target_s, weight_s, ii_s, jj_s,
+            bucket_edges_s, bucket_mask_s, k0_s, rlen_s, eta_pad, dsens_pad,
         )
-        disps = disps + dz.reshape(MW, H, W)
-    return poses, disps
+        disps_pad = disps_pad.at[dz_rows].add(
+            dz.reshape(n_shards * max_range, H, W)
+        )
+    return poses, disps_pad[:MW]

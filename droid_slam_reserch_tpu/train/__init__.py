@@ -6,5 +6,6 @@ parallelism over a device mesh instead of DDP/NCCL (SURVEY.md §2.7).
 from .config import TrainConfig
 from .step import make_train_step, init_train_state
 from .logger import Logger
+from .checkpoint import save_ckpt, load_ckpt
 
 __all__ = [k for k in dir() if not k.startswith("_")]

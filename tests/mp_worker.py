@@ -1,0 +1,165 @@
+"""Worker process for the multi-process jax.distributed CPU test.
+
+Spawned (not collected) by tests/test_parallel.py::test_multiprocess_distributed:
+two of these rendezvous at a local coordinator, each contributing 2 virtual
+CPU devices to a 4-device global mesh, and run
+
+1. one data-parallel training step through make_parallel_train_step with
+   the batch built via jax.make_array_from_process_local_data and the
+   graph shared via multihost_utils.broadcast_one_to_all — exactly the
+   multi-host path of cli.py cmd_train;
+2. one dist_ba_solve over a 4-shard "kf" mesh spanning both processes,
+   asserting parity with the in-process single-device ba_solve.
+
+Each worker writes its results to <out>/result_<pid>.npz; the pytest
+asserts cross-process equality.  (SURVEY.md §4: "multi-host tests via
+jax.distributed with multi-process CPU simulation".)
+"""
+import os
+import sys
+
+port, pid, out_dir = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, repo)
+cache = os.path.join(repo, ".jax_cache_tests")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache)
+
+import numpy as np
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.distributed.initialize(
+    coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid
+)
+
+import jax.numpy as jnp
+from jax.experimental import multihost_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+assert jax.process_count() == 2, jax.process_count()
+assert jax.local_device_count() == 2
+assert jax.device_count() == 4
+
+from droid_slam_reserch_tpu import lie
+from droid_slam_reserch_tpu.ba import ba_solve, schur_pairs
+from droid_slam_reserch_tpu.geom import neighbourhood_graph, projective_transform
+from droid_slam_reserch_tpu.parallel import (
+    dist_ba_solve,
+    make_parallel_train_step,
+    partition_edges,
+)
+from droid_slam_reserch_tpu.train import TrainConfig, init_train_state
+
+results = {}
+
+# ---------------------------------------------------------------- train step
+cfg = TrainConfig(batch=4, n_frames=3, iters=1)
+params, opt_state = init_train_state(cfg, image_size=(64, 64))
+mesh = Mesh(np.asarray(jax.devices()).reshape(-1), ("dp",))
+dp_sh = NamedSharding(mesh, P("dp"))
+rep_sh = NamedSharding(mesh, P())
+
+ii_g, jj_g = neighbourhood_graph(3, 2)
+# the cli.py multi-host path: one graph per GLOBAL batch, process 0's copy
+ii_g, jj_g = multihost_utils.broadcast_one_to_all(
+    (np.asarray(ii_g), np.asarray(jj_g))
+)
+
+key = jax.random.PRNGKey(0)
+B, Pn, h, w = 4, 3, 64, 64
+batch_np = {
+    "images": np.asarray(255.0 * jax.random.uniform(key, (B, Pn, h, w, 3))),
+    "poses": np.asarray(
+        jnp.broadcast_to(
+            lie.se3_exp(0.05 * jax.random.normal(key, (B, Pn, 6))), (B, Pn, 7)
+        )
+    ),
+    "disps": np.ones((B, Pn, h, w), np.float32),
+    "intrinsics": np.broadcast_to(
+        np.array([40.0, 40.0, w / 2, h / 2], np.float32), (B, Pn, 4)
+    ).copy(),
+}
+
+# per-process local slice -> one global dp-sharded array (cli.py:527-536)
+lo, hi = pid * 2, pid * 2 + 2
+batch = {
+    k: jax.make_array_from_process_local_data(dp_sh, v[lo:hi])
+    for k, v in batch_np.items()
+}
+params = jax.device_put(params, rep_sh)
+opt_state = jax.device_put(opt_state, rep_sh)
+
+step, _ = make_parallel_train_step(
+    cfg, jnp.asarray(ii_g), jnp.asarray(jj_g), mesh, num_steps=1, donate=False
+)
+params2, opt_state2, metrics = step(params, opt_state, batch)
+loss = float(metrics["loss"])
+assert np.isfinite(loss), loss
+leaf0 = np.asarray(jax.tree_util.tree_leaves(params)[0])
+leaf1 = np.asarray(jax.tree_util.tree_leaves(params2)[0])
+assert not np.allclose(leaf0, leaf1), "params did not change"
+results["loss"] = np.float64(loss)
+results["param_leaf"] = leaf1.reshape(-1)[:64].astype(np.float64)
+
+# ------------------------------------------------------------------ dist BA
+H, W = 6, 8
+ks = jax.random.split(jax.random.PRNGKey(7), 3)
+P_ = 8
+xi = jnp.concatenate(
+    [0.1 * jax.random.normal(ks[0], (P_, 3)),
+     0.03 * jax.random.normal(ks[1], (P_, 3))], axis=-1,
+)
+poses_gt = lie.se3_exp(xi)
+disps = 0.8 + 0.4 * jax.random.uniform(ks[2], (P_, H, W))
+intr = jnp.array([30.0, 30.0, W / 2.0, H / 2.0])
+ii, jj = neighbourhood_graph(P_, 2)
+intr_full = jnp.broadcast_to(intr, (P_, 4))
+target, valid = projective_transform(
+    poses_gt[None], disps[None], intr_full[None], ii, jj
+)
+target = target[0]
+weight = jnp.ones_like(target) * valid[0]
+dxi = 0.02 * jax.random.normal(jax.random.PRNGKey(1), (P_, 6)).at[0].set(0.0)
+poses0 = lie.se3_retr(poses_gt, dxi)
+disps0 = disps * 1.05
+eta = 1e-4 * jnp.ones((P_, H, W))
+free = jnp.arange(P_) >= 1
+dsens = jnp.zeros_like(disps0)
+
+be, bm = schur_pairs(np.asarray(ii), P_)
+p1, d1 = ba_solve(
+    poses0, disps0, intr, dsens, target, weight, eta,
+    jnp.asarray(ii), jnp.asarray(jj), free, jnp.asarray(be), jnp.asarray(bm),
+    iterations=2, min_depth=0.2,
+)
+
+kf_mesh = Mesh(np.asarray(jax.devices()).reshape(-1), ("kf",))
+ii_s, jj_s, tgt_s, wgt_s, be_s, bm_s, k0_s, rlen_s = partition_edges(
+    np.asarray(ii), np.asarray(jj), np.asarray(target), np.asarray(weight),
+    P_, 4,
+)
+p2, d2 = dist_ba_solve(
+    kf_mesh, poses0, disps0, intr, dsens,
+    jnp.asarray(tgt_s), jnp.asarray(wgt_s), eta,
+    jnp.asarray(ii_s), jnp.asarray(jj_s), free,
+    jnp.asarray(be_s), jnp.asarray(bm_s),
+    jnp.asarray(k0_s), jnp.asarray(rlen_s),
+    iterations=2, min_depth=0.2,
+)
+p2h = np.asarray(jax.device_get(p2))
+d2h = np.asarray(jax.device_get(d2))
+err_p = float(np.abs(p2h - np.asarray(p1)).max())
+err_d = float(np.abs(d2h - np.asarray(d1)).max())
+assert err_p < 5e-4, err_p
+assert err_d < 5e-3, err_d
+results["dist_poses"] = p2h.astype(np.float64)
+results["dist_ba_err_p"] = np.float64(err_p)
+
+np.savez(os.path.join(out_dir, f"result_{pid}.npz"), **results)
+jax.distributed.shutdown()
+print(f"worker {pid} ok loss={loss:.6f} err_p={err_p:.2e}")

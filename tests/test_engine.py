@@ -206,9 +206,15 @@ def test_fused_rounds_match_sequential_updates(shared_params):
 
     db = Droid(make_config(), params=shared_params)
 
-    def seq_updates(self, rounds, t0=None):
+    def seq_updates(self, rounds, t0=None, cull_pair=None):
         for _ in range(rounds):
             self.graph.update(t0, None, use_inactive=True)
+        if cull_pair is not None:
+            # the pre-fusion culling path: a separate distance dispatch
+            return self.video.distance(
+                [cull_pair[0]], [cull_pair[1]], beta=self.beta,
+                bidirectional=True,
+            )[0]
 
     db.frontend._run_updates = types.MethodType(seq_updates, db.frontend)
     run_sequence(db, n_frames=10)
@@ -221,3 +227,64 @@ def test_fused_rounds_match_sequential_updates(shared_params):
     ddb = np.asarray(db.video.disps[:tb])
     np.testing.assert_allclose(pa, pb, atol=2e-3)
     np.testing.assert_allclose(dda, ddb, atol=2e-2)
+
+
+def test_fused_cull_distance_matches_video_distance(shared_params):
+    """The in-graph culling distance update_fused returns must equal the
+    separate video.distance dispatch on the post-update state."""
+    droid = run_sequence(Droid(make_config(), params=shared_params), n_frames=10)
+    g = droid.frontend.graph
+    v = droid.video
+    t1 = droid.frontend.t1
+    d_fused = g.update_fused(
+        1, use_inactive=True, cull_pair=(t1 - 3, t1 - 2)
+    )
+    d_ref = v.distance([t1 - 3], [t1 - 2], beta=droid.frontend.beta,
+                       bidirectional=True)[0]
+    np.testing.assert_allclose(float(d_fused), float(d_ref), rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_fused_motion_only_matches_sequential(shared_params):
+    """The trajectory filler's fused 6-round motion-only program must match
+    6 sequential update(motion_only=True) calls (reference
+    trajectory_filler.py:67-72)."""
+    import copy
+
+    da = run_sequence(Droid(make_config(), params=shared_params), n_frames=10)
+    from droid_slam_reserch_tpu.engine.factor_graph import FactorGraph
+
+    v = da.video
+    N = v.counter
+
+    # brackets -> two temp frames appended after the keyframes
+    for m in range(2):
+        v.set_slot(N + m, 100.0 + m, None, v.poses[N - 1], 1.0, None,
+                   v.intrinsics[0], v.fmaps[N - 1], v.nets[N - 1],
+                   v.inps[N - 1])
+    v.counter = N + 2
+    t0b = np.array([N - 2, N - 2])
+    t1b = np.array([N - 1, N - 1])
+    # host-side snapshot — the engine's donated jit setters delete the old
+    # device buffers in place, so device references would not survive run()
+    state = {k: np.asarray(getattr(v, k)) for k in
+             ("poses", "disps", "disps_sens", "damping", "nets")}
+
+    def run(fused):
+        for k, val in state.items():
+            setattr(v, k, jnp.asarray(val, getattr(v, k).dtype))
+        g = FactorGraph(v, da.frontend.graph.update_apply, da.frontend.graph.params)
+        g.add_factors(t0b, np.arange(N, N + 2))
+        g.add_factors(t1b, np.arange(N, N + 2))
+        if fused:
+            g.update_fused(6, t0=N, t1=N + 2, use_inactive=False,
+                           motion_only=True)
+        else:
+            for _ in range(6):
+                g.update(N, N + 2, motion_only=True)
+        return np.asarray(v.poses[N : N + 2])
+
+    p_seq = run(fused=False)
+    p_fused = run(fused=True)
+    v.counter = N
+    np.testing.assert_allclose(p_fused, p_seq, atol=2e-4)

@@ -57,9 +57,9 @@ def test_dist_ba_matches_single_device():
         iterations=2, min_depth=0.2,
     )
 
-    # 4-way mesh (each shard owns 2 depth buckets)
+    # 4-way mesh (edge-balanced contiguous ranges)
     mesh = make_mesh((4,), ("kf",), devices=jax.devices()[:4])
-    ii_s, jj_s, tgt_s, wgt_s, be_s, bm_s = partition_edges(
+    ii_s, jj_s, tgt_s, wgt_s, be_s, bm_s, k0_s, rlen_s = partition_edges(
         np.asarray(ii), np.asarray(jj), np.asarray(target), np.asarray(weight),
         P_, 4,
     )
@@ -68,6 +68,7 @@ def test_dist_ba_matches_single_device():
         jnp.asarray(tgt_s), jnp.asarray(wgt_s), eta,
         jnp.asarray(ii_s), jnp.asarray(jj_s), free,
         jnp.asarray(be_s), jnp.asarray(bm_s),
+        jnp.asarray(k0_s), jnp.asarray(rlen_s),
         iterations=2, min_depth=0.2,
     )
 
@@ -80,11 +81,38 @@ def test_partition_edges_covers_all():
     jj = np.array([1, 2, 0, 4, 6, 5, 6, 0])
     target = np.random.randn(8, H, W, 2).astype(np.float32)
     weight = np.abs(np.random.randn(8, H, W, 2)).astype(np.float32)
-    ii_s, jj_s, tgt_s, wgt_s, be_s, bm_s = partition_edges(ii, jj, target, weight, 8, 4)
+    ii_s, jj_s, tgt_s, wgt_s, be_s, bm_s, k0, rlen = partition_edges(
+        ii, jj, target, weight, 8, 4
+    )
     assert ii_s.shape[0] == 4
+    # ranges are contiguous and cover [0, MW)
+    assert k0[0] == 0 and (k0[1:] == k0[:-1] + rlen[:-1]).all()
+    assert k0[-1] + rlen[-1] == 8
     # every original edge appears exactly once with its weight
     total_w = sum(wgt_s[s].sum() for s in range(4))
     np.testing.assert_allclose(total_w, weight.sum(), rtol=1e-5)
+    # every edge lives on the shard owning its source bucket
+    for s in range(4):
+        n = ((ii >= k0[s]) & (ii < k0[s] + rlen[s])).sum()
+        assert (ii_s[s, :n] >= k0[s]).all() and (ii_s[s, :n] < k0[s] + rlen[s]).all()
+
+
+def test_partition_edges_balances_hot_keyframe():
+    """A hot keyframe (many edges on one bucket) must not force every shard
+    to the global max edge count (the round-3 scaling anti-result)."""
+    MW = 32
+    ii = np.concatenate([np.zeros(64, np.int64), np.arange(1, MW).repeat(2)])
+    jj = np.concatenate([np.arange(64) % MW, (np.arange(1, MW) - 1).repeat(2)])
+    target = np.zeros((len(ii), H, W, 2), np.float32)
+    weight = np.ones((len(ii), H, W, 2), np.float32)
+    ii_s, jj_s, tgt_s, wgt_s, be_s, bm_s, k0, rlen = partition_edges(
+        ii, jj, target, weight, MW, 4
+    )
+    # hot shard 0 should own few buckets; the padded edge count per shard
+    # must stay well below the naive global-max (64 + pad)
+    counts = [((ii >= k0[s]) & (ii < k0[s] + rlen[s])).sum() for s in range(4)]
+    assert max(counts) <= 72  # ~nE/4 + bucket slack, NOT 64 * anything
+    assert ii_s.shape[1] <= 72 + 8
 
 
 @pytest.mark.slow
@@ -191,3 +219,50 @@ def test_video_ba_auto_shards_parity():
     np.testing.assert_allclose(
         np.asarray(va.disps[:T]), np.asarray(v0.disps[:T]), atol=5e-3
     )
+
+
+@pytest.mark.slow
+def test_multiprocess_distributed(tmp_path):
+    """TRUE multi-process jax.distributed: two OS processes rendezvous at a
+    local coordinator (2 virtual CPU devices each, 4 global), run one
+    data-parallel training step (make_array_from_process_local_data +
+    broadcast_one_to_all — the cli.py multi-host path) and one 4-shard
+    dist_ba_solve, and must agree with each other bit-for-bit and with the
+    single-device solver (asserted inside tests/mp_worker.py).
+    SURVEY.md §4: "multi-host tests via jax.distributed with multi-process
+    CPU simulation"."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    # pick a free port for the coordinator
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    worker = os.path.join(os.path.dirname(__file__), "mp_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(port), str(pid), str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out.decode(errors="replace"))
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+
+    r0 = np.load(tmp_path / "result_0.npz")
+    r1 = np.load(tmp_path / "result_1.npz")
+    # lockstep: both processes see the same loss and the same updated params
+    np.testing.assert_allclose(r0["loss"], r1["loss"], rtol=1e-6)
+    np.testing.assert_allclose(r0["param_leaf"], r1["param_leaf"], rtol=1e-6)
+    np.testing.assert_allclose(r0["dist_poses"], r1["dist_poses"], atol=1e-6)
+    assert float(r0["dist_ba_err_p"]) < 5e-4

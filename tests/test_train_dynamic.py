@@ -73,3 +73,56 @@ def test_dynamic_step_runs_and_masks_padding():
     p2, _ = apply_step(params, opt_state, acc)
     flat = jax.tree_util.tree_leaves(p2)
     assert all(np.isfinite(np.asarray(x)).all() for x in flat)
+
+
+def test_checkpoint_resume_equivalence(tmp_path):
+    """Training N steps straight == N/2 steps + save_ckpt/load_ckpt + N/2
+    more, bit-for-bit: the checkpoint carries the full optax state
+    (Adam moments + schedule count), so resume loses nothing
+    (SURVEY.md §5 checkpoint formalization; reference train.py:134-136
+    restores weights only and silently resets the optimizer)."""
+    from droid_slam_reserch_tpu.train import load_ckpt, save_ckpt
+
+    cfg = TrainConfig(batch=1, n_frames=4, iters=1, steps=10)
+    grad_step, apply_step = make_train_step_dynamic(cfg)
+
+    def batch_for(t):
+        return make_batch(jax.random.PRNGKey(100 + t))
+
+    def run(params, opt_state, t0, t1):
+        for t in range(t0, t1):
+            grads, _, _ = grad_step(params, batch_for(t))
+            params, opt_state = apply_step(params, opt_state, grads)
+        return params, opt_state
+
+    p0, s0 = init_train_state(cfg, image_size=(64, 64))
+    p_straight, _ = run(p0, s0, 0, 4)
+
+    p_half, s_half = run(p0, s0, 0, 2)
+    path = str(tmp_path / "ck.npz")
+    save_ckpt(path, p_half, s_half, 2)
+    p_re, s_re, step = load_ckpt(path)
+    assert step == 2
+    p_resumed, _ = run(p_re, s_re, step, 4)
+
+    ls = jax.tree_util.tree_leaves(p_straight)
+    lr = jax.tree_util.tree_leaves(p_resumed)
+    for a, b in zip(ls, lr):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_params_only_back_compat(tmp_path):
+    """A reference-style params-only npz loads as a warm start."""
+    from droid_slam_reserch_tpu.train import load_ckpt
+
+    cfg = TrainConfig(batch=1, n_frames=4, iters=1, steps=10)
+    params, _ = init_train_state(cfg, image_size=(64, 64))
+    path = str(tmp_path / "weights.npz")
+    obj = np.empty((), object)
+    obj[()] = jax.tree_util.tree_map(np.asarray, params)
+    np.savez(path, params=obj)
+    p, opt, step = load_ckpt(path)
+    assert opt is None and step == 0
+    for a, b in zip(jax.tree_util.tree_leaves(p),
+                    jax.tree_util.tree_leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
