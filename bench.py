@@ -112,6 +112,8 @@ def main():
         else resolve_pallas_ba(cfg)
     )
 
+    cull_ij = jnp.zeros(2, jnp.int32)
+
     def one_keyframe(poses, disps, damping, nets_e, target):
         """The whole per-keyframe frontend loop as one device program."""
         return _fused_rounds(
@@ -120,21 +122,21 @@ def main():
             fmap1_e, fmap2_e, nets_e, inps_e, target,
             iid, jjd, kk, active_mask, has_edge,
             iid, jjd, empty_t, empty_t,
-            free, be, bm,
+            free, be, bm, cull_ij,
             rounds=ROUNDS, ba_iters=2, lm=1e-4, ep=0.1,
-            damping_eps=1e-7, min_depth=0.25, dtype=fdt,
+            damping_eps=1e-7, min_depth=0.25, beta=0.3, dtype=fdt,
             use_pallas=use_pallas,
         )
 
     # warmup / compile
-    p, d, dmp, n_, t_, _, _ = one_keyframe(poses, disps, damping, nets_e, target0)
+    p, d, dmp, n_, t_, _, _, _ = one_keyframe(poses, disps, damping, nets_e, target0)
     jax.block_until_ready(p)
-    p, d, dmp, n_, t_, _, _ = one_keyframe(p, d, dmp, n_, t_)
+    p, d, dmp, n_, t_, _, _, _ = one_keyframe(p, d, dmp, n_, t_)
     jax.block_until_ready(p)
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        p, d, dmp, n_, t_, _, _ = one_keyframe(p, d, dmp, n_, t_)
+        p, d, dmp, n_, t_, _, _, _ = one_keyframe(p, d, dmp, n_, t_)
     jax.block_until_ready(p)
     dt = time.perf_counter() - t0
 
@@ -149,7 +151,7 @@ def main():
     kf_iters = 2 if small else 10
     t0 = time.perf_counter()
     for _ in range(kf_iters):
-        p2, d2, dmp2, n2, t2, _, _ = one_keyframe(poses, disps, damping, nets_e, target0)
+        p2, d2, dmp2, n2, t2, _, _, _ = one_keyframe(poses, disps, damping, nets_e, target0)
     jax.block_until_ready(p2)
     extra["frontend_keyframes_per_s"] = round(kf_iters / (time.perf_counter() - t0), 3)
 

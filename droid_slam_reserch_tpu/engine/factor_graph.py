@@ -241,6 +241,46 @@ def _update_op_step_alt(
     return net[0], target_new, weight_new, eta[0].astype(jnp.float32), upmask[0], coords1
 
 
+def _lowmem_chunk_step(apply_fn, params, poses, disps, intrinsics, fmaps,
+                       inps, coords0, S, dtype, xs):
+    """One chunk of the global-graph motion-feature refresh: reproject +
+    fused altcorr + GRU + aggregation for up to EB edges whose source
+    frames live in an S-frame band (the body of the reference's
+    update_lowmem loop, factor_graph.py:271-290)."""
+    ii, jj, cams, kk, frame_ids, emask, nets, target = xs
+
+    coords1, _ = projective_transform(
+        poses[None], disps[None], intrinsics[None], ii, jj
+    )
+    coords1 = coords1[0]
+    motn = jnp.clip(
+        jnp.concatenate([coords1 - coords0, target - coords1], axis=-1),
+        -64.0, 64.0,
+    )
+
+    f1 = fmaps[ii, 0].astype(dtype)
+    f2 = fmaps[jj, cams].astype(dtype)
+    f2_pyr = [f2]
+    for _ in range(3):
+        f2_pyr.append(pool2x_fmap(f2_pyr[-1]))
+    corr = altcorr_pyramid(f1, f2_pyr, coords1)
+
+    # padded fake edges carry kk == S (sentinel segment, sliced away) so
+    # GraphAgg's per-frame mean never dilutes a real slot's eta/upmask —
+    # with EB padded to the global max chunk size, sparse chunks would
+    # otherwise aggregate mostly zero-state fakes into slot 0
+    nets, delta, weight, eta, upmask = apply_fn(
+        params, nets[None], inps[ii][None], corr[None].astype(dtype),
+        motn[None].astype(dtype), kk, S + 1,
+    )
+    eta = eta[:, :S]
+    upmask = upmask[:, :S]
+    nets = nets[0]
+    target = coords1 + delta[0].astype(jnp.float32)
+    weight = weight[0].astype(jnp.float32) * emask[:, None, None, None]
+    return nets, target, weight, eta[0], upmask[0]
+
+
 @partial(
     jax.jit,
     static_argnames=("apply_fn", "S", "dtype", "upsample"),
@@ -291,43 +331,16 @@ def _lowmem_refresh(
 
     def body(carry, xs):
         damping_ext, disps_up = carry
-        ii, jj, cams, kk, frame_ids, emask, nets, target = xs
-
-        coords1, _ = projective_transform(
-            poses[None], disps[None], intrinsics[None], ii, jj
+        frame_ids = xs[4]
+        nets, target, weight, eta0, upmask0 = _lowmem_chunk_step(
+            apply_fn, params, poses, disps, intrinsics, fmaps, inps,
+            coords0, S, dtype, xs,
         )
-        coords1 = coords1[0]
-        motn = jnp.clip(
-            jnp.concatenate([coords1 - coords0, target - coords1], axis=-1),
-            -64.0, 64.0,
-        )
-
-        f1 = fmaps[ii, 0].astype(dtype)
-        f2 = fmaps[jj, cams].astype(dtype)
-        f2_pyr = [f2]
-        for _ in range(3):
-            f2_pyr.append(pool2x_fmap(f2_pyr[-1]))
-        corr = altcorr_pyramid(f1, f2_pyr, coords1)
-
-        # padded fake edges carry kk == S (sentinel segment, sliced away) so
-        # GraphAgg's per-frame mean never dilutes a real slot's eta/upmask —
-        # with EB padded to the global max chunk size, sparse chunks would
-        # otherwise aggregate mostly zero-state fakes into slot 0
-        nets, delta, weight, eta, upmask = apply_fn(
-            params, nets[None], inps[ii][None], corr[None].astype(dtype),
-            motn[None].astype(dtype), kk, S + 1,
-        )
-        eta = eta[:, :S]
-        upmask = upmask[:, :S]
-        nets = nets[0]
-        target = coords1 + delta[0].astype(jnp.float32)
-        weight = weight[0].astype(jnp.float32) * emask[:, None, None, None]
-
-        damping_ext = damping_ext.at[frame_ids].set(eta[0].astype(jnp.float32))
+        damping_ext = damping_ext.at[frame_ids].set(eta0.astype(jnp.float32))
         if upsample:
             d = jnp.clip(frame_ids, 0, T - 1)
             up = cvx_upsample_fn(
-                disps[d][..., None], upmask[0].astype(jnp.float32)
+                disps[d][..., None], upmask0.astype(jnp.float32)
             )[..., 0]
             disps_up = disps_up.at[frame_ids].set(up)
         return (damping_ext, disps_up), (nets, target, weight)
@@ -338,6 +351,103 @@ def _lowmem_refresh(
         (ii_ck, jj_ck, cams_ck, kk_ck, frame_ck, emask_ck, nets_ck, target_ck),
     )
     return nets, target, weight, damping_ext[:T], disps_up
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "apply_fn", "S", "dtype", "upsample"),
+)
+def _lowmem_refresh_sharded(
+    mesh,
+    apply_fn,
+    params,
+    poses,
+    disps,
+    disps_up,
+    intrinsics,
+    fmaps,
+    inps,
+    nets_ck,
+    target_ck,
+    ii_ck,
+    jj_ck,
+    cams_ck,
+    kk_ck,
+    frame_ck,
+    emask_ck,
+    damping,
+    S,
+    dtype=jnp.float32,
+    upsample=False,
+):
+    """_lowmem_refresh with the chunk axis sharded over a local device mesh
+    — the "ring-attention analog" of SURVEY.md §5: the GRU + altcorr sweep
+    over all ~16t edges is embarrassingly parallel over source-frame
+    chunks, so each device scans its own chunk slice against replicated
+    frame state (reference chunking seam: factor_graph.py:253-298).
+
+    Each frame belongs to exactly one chunk, so the per-frame damping /
+    upsample outputs are combined with one psum of (values, written-mask)
+    — no collective rides inside the scan.  nC must be a multiple of the
+    mesh size (update_lowmem pads with empty chunks).
+    """
+    T = poses.shape[0]
+    h8, w8 = disps.shape[-2:]
+    ht, wd = disps_up.shape[-2:]
+    coords0 = coords_grid(h8, w8)
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("ck"),) * 8,
+        out_specs=(P("ck"), P("ck"), P("ck"), P(), P(), P(), P()),
+        check_vma=False,
+    )
+    def run(nets_ck, target_ck, ii_ck, jj_ck, cams_ck, kk_ck, frame_ck,
+            emask_ck):
+        def body(carry, xs):
+            dvals, dmask, upvals = carry
+            frame_ids = xs[4]
+            nets, target, weight, eta0, upmask0 = _lowmem_chunk_step(
+                apply_fn, params, poses, disps, intrinsics, fmaps, inps,
+                coords0, S, dtype, xs,
+            )
+            dvals = dvals.at[frame_ids].set(eta0.astype(jnp.float32))
+            dmask = dmask.at[frame_ids].set(1.0)
+            if upsample:
+                d = jnp.clip(frame_ids, 0, T - 1)
+                up = cvx_upsample_fn(
+                    disps[d][..., None], upmask0.astype(jnp.float32)
+                )[..., 0]
+                upvals = upvals.at[frame_ids].set(up)
+            return (dvals, dmask, upvals), (nets, target, weight)
+
+        up0 = jnp.zeros((T + 1, ht, wd) if upsample else (1, 1, 1))
+        init = (jnp.zeros((T + 1, h8, w8)), jnp.zeros(T + 1), up0)
+        (dvals, dmask, upvals), (nets, target, weight) = jax.lax.scan(
+            body, init,
+            (ii_ck, jj_ck, cams_ck, kk_ck, frame_ck, emask_ck,
+             nets_ck, target_ck),
+        )
+        dvals = jax.lax.psum(dvals, "ck")
+        dmask = jax.lax.psum(dmask, "ck")
+        upvals = jax.lax.psum(upvals, "ck")
+        return nets, target, weight, dvals, dmask, upvals, dmask
+
+    nets, target, weight, dvals, dmask, upvals, _ = run(
+        nets_ck, target_ck, ii_ck, jj_ck, cams_ck, kk_ck, frame_ck, emask_ck
+    )
+    written = dmask[:T] > 0
+    damping_out = jnp.where(written[:, None, None], dvals[:T], damping)
+    if upsample:
+        disps_up = jnp.where(written[:, None, None], upvals[:T],
+                             disps_up[:T])
+        disps_up = jnp.concatenate(
+            [disps_up, jnp.zeros((1, ht, wd))], axis=0
+        )
+    return nets, target, weight, damping_out, disps_up
 
 
 # late import target for _lowmem_refresh's optional upsampling
@@ -911,6 +1021,23 @@ class FactorGraph:
         self.net = net[:n]
         return np.asarray(jnp.sum(weight[:n], axis=(1, 2, 3)))
 
+    def _resolved_refresh_shards(self, nC):
+        """cfg.refresh_shards with -1 = auto: shard the backend's chunked
+        edge refresh over every local device when there are chunks to
+        split."""
+        s = getattr(self.cfg, "refresh_shards", -1)
+        if s in (0, 1):
+            return 1
+        n = jax.local_device_count() if s == -1 else s
+        return n if (n > 1 and nC >= 2) else 1
+
+    def _refresh_mesh(self, n):
+        if getattr(self, "_ck_mesh", None) is None or self._ck_mesh.size != n:
+            from ..parallel import make_mesh
+
+            self._ck_mesh = make_mesh((n,), ("ck",), devices=jax.devices()[:n])
+        return self._ck_mesh
+
     def update_lowmem(self, steps=8, itrs=2, EP=1e-7):
         """Global BA over all edges, chunked over source frames
         (reference factor_graph.py:253-300).
@@ -935,17 +1062,21 @@ class FactorGraph:
         ii_s = self.ii[order]
         i_max = int(ii_s.max())
         nC = i_max // s + 1
+        # shard the chunk axis over local devices (SURVEY.md §5 "sharded
+        # fused correlation lookup"); empty pad chunks keep shapes static
+        ndev = self._resolved_refresh_shards(nC)
+        nC_pad = _round_up(nC, ndev) if ndev > 1 else nC
         counts = np.zeros(nC, np.int64)
         for i0 in range(0, i_max + 1, s):
             counts[i0 // s] = np.count_nonzero((ii_s >= i0) & (ii_s < i0 + s))
         EB = _round_up(max(int(counts.max()), 1), self.cfg.edge_bucket)
 
-        ii_ck = np.zeros((nC, EB), np.int32)
-        jj_ck = np.zeros((nC, EB), np.int32)
-        emask_ck = np.zeros((nC, EB), np.float32)
-        pos_ck = np.zeros((nC, EB), np.int64)  # edge index (sorted order)
-        frame_ck = np.full((nC, s), t, np.int32)  # sentinel = t (no edges)
-        kk_ck = np.full((nC, EB), s, np.int32)  # sentinel segment = s
+        ii_ck = np.zeros((nC_pad, EB), np.int32)
+        jj_ck = np.zeros((nC_pad, EB), np.int32)
+        emask_ck = np.zeros((nC_pad, EB), np.float32)
+        pos_ck = np.zeros((nC_pad, EB), np.int64)  # edge index (sorted order)
+        frame_ck = np.full((nC_pad, s), t, np.int32)  # sentinel = t (no edges)
+        kk_ck = np.full((nC_pad, EB), s, np.int32)  # sentinel segment = s
         ofs = 0
         for c in range(nC):
             n = int(counts[c])
@@ -975,8 +1106,8 @@ class FactorGraph:
 
         dummy_up = jnp.zeros((1, 1, 1))
         for step in range(steps):
-            nets_ck = self.net[flat_src].reshape(nC, EB, h8, w8, -1)
-            target_ck = self.target[flat_src].reshape(nC, EB, h8, w8, 2)
+            nets_ck = self.net[flat_src].reshape(nC_pad, EB, h8, w8, -1)
+            target_ck = self.target[flat_src].reshape(nC_pad, EB, h8, w8, 2)
             if self.upsample:
                 if video.disps_up is None:
                     video.disps_up = jnp.zeros(
@@ -989,15 +1120,25 @@ class FactorGraph:
             else:
                 ups = dummy_up
 
-            nets, target, weight, damping, ups = _lowmem_refresh(
-                self.update_apply, self.params,
-                video.poses[:t], video.disps[:t], ups,
-                video.intrinsics[:t], video.fmaps[:t], video.inps[:t],
-                nets_ck, target_ck, ii_ck, jj_ck, cams_ck, kk_ck,
-                frame_ck, emask_ck, video.damping[:t],
-                S=s, dtype=self.dtype, upsample=self.upsample,
-            )
-            flat = lambda x: x.reshape((nC * EB,) + x.shape[2:])
+            if ndev > 1:
+                nets, target, weight, damping, ups = _lowmem_refresh_sharded(
+                    self._refresh_mesh(ndev), self.update_apply, self.params,
+                    video.poses[:t], video.disps[:t], ups,
+                    video.intrinsics[:t], video.fmaps[:t], video.inps[:t],
+                    nets_ck, target_ck, ii_ck, jj_ck, cams_ck, kk_ck,
+                    frame_ck, emask_ck, video.damping[:t],
+                    S=s, dtype=self.dtype, upsample=self.upsample,
+                )
+            else:
+                nets, target, weight, damping, ups = _lowmem_refresh(
+                    self.update_apply, self.params,
+                    video.poses[:t], video.disps[:t], ups,
+                    video.intrinsics[:t], video.fmaps[:t], video.inps[:t],
+                    nets_ck, target_ck, ii_ck, jj_ck, cams_ck, kk_ck,
+                    frame_ck, emask_ck, video.damping[:t],
+                    S=s, dtype=self.dtype, upsample=self.upsample,
+                )
+            flat = lambda x: x.reshape((nC_pad * EB,) + x.shape[2:])
             self.net = flat(nets)[take_back]
             self.target = flat(target)[take_back]
             self.weight = flat(weight)[take_back]
@@ -1036,6 +1177,9 @@ class FactorGraph:
         if dmat is not None and dmat.shape == (len(ix), len(jx)):
             d = np.asarray(dmat)
         else:
+            from ..utils.timing import count_sync
+
+            count_sync()  # blocking edge-selection sync (no prefetch hit)
             d = self.video.distance_matrix(t0, t1, t, beta=beta)
 
         # native greedy NMS selection when the library is available

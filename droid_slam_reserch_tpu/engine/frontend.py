@@ -96,6 +96,9 @@ class Frontend:
         d_cull = self._run_updates(
             self.iters1, cull_pair=(self.t1 - 3, self.t1 - 2)
         )
+        from ..utils.timing import count_sync
+
+        count_sync()  # culling decision rides the fused program's output
         if float(d_cull) < self.keyframe_thresh:
             self.graph.rm_keyframe(self.t1 - 2)
             self.video.counter -= 1

@@ -74,6 +74,9 @@ class MotionFilter:
                 self.applies["update"], self.params,
                 self.fmap[0], gmap[0], self.net, self.inp, dtype=self.dtype,
             )
+            from ..utils.timing import count_sync
+
+            count_sync()  # admission decision: the per-frame blocking sync
             if float(delta_norm) > self.thresh:
                 self.count = 0
                 net, inp = self.applies["cnet"](self.params, imgs[:1])

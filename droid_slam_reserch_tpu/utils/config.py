@@ -77,6 +77,10 @@ class DroidConfig:
     # parallel/dist_ba.py).  -1 (default) = auto: windows >= 128 keyframes
     # use every local device; 0/1 = always single-device.
     ba_shards: int = -1
+    # shard the backend's chunked GRU+altcorr edge refresh (update_lowmem)
+    # over this many local devices (engine/factor_graph.py
+    # _lowmem_refresh_sharded).  -1 = auto (every local device), 0/1 = off.
+    refresh_shards: int = -1
     edge_bucket: int = 16                  # pad edge counts to multiples
     window_bucket: int = 8                 # pad BA window sizes to multiples
     compute_dtype: str = "float32"         # "bfloat16" on TPU for the network

@@ -53,3 +53,14 @@ def maybe_report():
     if os.environ.get("DROID_TIMING"):
         print("=== droid timings ===")
         print(GLOBAL_TIMINGS.summary(), flush=True)
+
+
+# count of BLOCKING host<->device syncs on the tracking path (keyframe
+# admission, culling decision, non-prefetched proximity matrices) — the
+# quantity that dominates per-frame latency over a remote tunnel
+# (PROFILE.md "e2e" section).  Read/reset by tools/bench_e2e.py.
+SYNC_COUNT = [0]
+
+
+def count_sync():
+    SYNC_COUNT[0] += 1

@@ -288,3 +288,22 @@ def test_fused_motion_only_matches_sequential(shared_params):
     p_fused = run(fused=True)
     v.counter = N
     np.testing.assert_allclose(p_fused, p_seq, atol=2e-4)
+
+
+def test_lowmem_refresh_sharded_matches_single(shared_params):
+    """The backend's chunked GRU+altcorr refresh sharded over the 8-device
+    mesh (refresh_shards=-1 auto) must produce the same map as the
+    single-device scanned refresh (refresh_shards=1)."""
+    def run(shards):
+        droid = Droid(make_config(refresh_shards=shards),
+                      params=shared_params)
+        run_sequence(droid, n_frames=10)
+        droid.terminate()
+        t = droid.video.counter
+        return (np.asarray(droid.video.poses[:t]),
+                np.asarray(droid.video.disps[:t]))
+
+    p1, d1 = run(1)
+    p8, d8 = run(-1)
+    np.testing.assert_allclose(p8, p1, atol=2e-4)
+    np.testing.assert_allclose(d8, d1, atol=2e-3)

@@ -58,6 +58,9 @@ def main():
     for t in range(12):
         droid.track(float(t), frames[t], intrinsics=intr)
 
+    from droid_slam_reserch_tpu.utils.timing import SYNC_COUNT
+
+    SYNC_COUNT[0] = 0
     per_frame = []
     for t in range(12, n_frames):
         t0 = time.perf_counter()
@@ -68,6 +71,7 @@ def main():
     fps = (n_frames - 12) / dt
     tail = per_frame[-12:]
     fps_tail = len(tail) / sum(tail)
+    syncs_per_frame = SYNC_COUNT[0] / (n_frames - 12)
 
     t0 = time.perf_counter()
     droid.terminate()
@@ -82,6 +86,7 @@ def main():
             "keyframes": int(droid.video.counter),
             "terminate_s": round(t_term, 3),
             "fps_last12": round(fps_tail, 3),
+            "syncs_per_frame": round(syncs_per_frame, 3),
             "s_per_frame": [round(x, 2) for x in per_frame],
         },
     }))

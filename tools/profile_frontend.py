@@ -168,8 +168,9 @@ def main():
             f1, f2, nets_e, inps_e, target0,
             iid, jjd, kk, active_mask, has_edge,
             iid, jjd, empty_t, empty_t, free, be, bm,
+            jnp.zeros(2, jnp.int32),
             rounds=6, ba_iters=2, lm=1e-4, ep=0.1,
-            damping_eps=1e-7, min_depth=0.25, dtype=fdt,
+            damping_eps=1e-7, min_depth=0.25, beta=0.3, dtype=fdt,
         )
     res["fused_6rounds_ms"] = timeit(fused, poses, disps, iters=10, label="fused 6 rounds")
     res["fused_per_round_ms"] = round(res["fused_6rounds_ms"] / 6, 3)
