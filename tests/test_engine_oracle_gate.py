@@ -1,0 +1,150 @@
+"""Full-engine synthetic accuracy gate (VERDICT r3 item 6).
+
+Drives the REAL Frontend / fused-rounds / Backend-lowmem machinery on a
+known trajectory with an ORACLE update operator injected at the apply-fn
+seam: the stored per-edge targets are seeded from ground-truth geometry
+and the oracle returns ``delta = target - coords1`` (i.e. motn[..., 2:4]),
+weight 1, constant damping — so ``target_new = coords1 + delta`` keeps the
+oracle targets fixed through every engine path (fused frontend rounds,
+the backend's chunked refresh, padding/bucketing, window gathers).
+
+A regression anywhere in windowing, bucketing, Schur scatter, free-mask,
+gauge, or the BA solve then fails an ATE assertion instead of only the
+solver-level test_ate_gate (which stops at ba_solve).  This mirrors the
+one numeric seam the reference offers — the cuda_ba/py_ba switch
+(reference factor_graph.py:236-245) — but closes it over the whole engine.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from droid_slam_reserch_tpu import lie
+from droid_slam_reserch_tpu.engine.factor_graph import FactorGraph
+from droid_slam_reserch_tpu.engine.frontend import Frontend
+from droid_slam_reserch_tpu.engine.video import Video
+from droid_slam_reserch_tpu.eval.metrics import ate_rmse
+from droid_slam_reserch_tpu.geom import projective_transform
+from droid_slam_reserch_tpu.utils import DroidConfig
+
+H8, W8 = 12, 16
+T = 12
+
+
+def gt_scene():
+    """Smooth forward+turn trajectory with spatially varying depth."""
+    xi = np.zeros((T, 6), np.float32)
+    xi[:, 0] = 0.05
+    xi[:, 1] = 0.01 * np.sin(np.arange(T))
+    xi[:, 4] = 0.012
+    poses = [np.array([0, 0, 0, 0, 0, 0, 1], np.float32)]
+    for t in range(1, T):
+        step = np.asarray(lie.se3_exp(jnp.asarray(xi[t])[None]))[0]
+        poses.append(np.asarray(lie.se3_mul(jnp.asarray(step)[None],
+                                            jnp.asarray(poses[-1])[None]))[0])
+    poses_gt = jnp.asarray(np.stack(poses))
+    ys, xs = np.meshgrid(np.arange(H8), np.arange(W8), indexing="ij")
+    d = 0.8 + 0.2 * np.sin(0.5 * xs) * np.cos(0.4 * ys)
+    disps_gt = jnp.asarray(
+        np.broadcast_to(d, (T, H8, W8)).astype(np.float32)
+    )
+    intr = jnp.array([2.0 * W8, 2.0 * W8, W8 / 2.0, H8 / 2.0])
+    return poses_gt, disps_gt, intr
+
+
+def oracle_apply(params, net, inp, corr, motn, kk=None, num_segments=None):
+    """Oracle update op: pull every edge to its stored target."""
+    delta = motn[..., 2:4].astype(jnp.float32)
+    weight = jnp.ones_like(delta)
+    if kk is None:
+        return net, delta, weight
+    B, N, h, w, _ = net.shape
+    M = num_segments
+    eta = 1e-4 * jnp.ones((B, M, h, w))
+    upmask = jnp.zeros((B, M, h, w, 8 * 8 * 9), net.dtype)
+    return net, delta, weight, eta, upmask
+
+
+class OracleGraph(FactorGraph):
+    """FactorGraph whose per-edge targets are re-seeded from GT geometry
+    after every edge addition (the oracle apply then preserves them)."""
+
+    def __init__(self, video, gt, **kw):
+        super().__init__(video, oracle_apply, {}, **kw)
+        self._gt = gt
+
+    def add_factors(self, ii, jj, remove=False):
+        super().add_factors(ii, jj, remove)
+        n = len(self.ii)
+        if n == 0:
+            return
+        pg, dg, K = self._gt
+        intr_full = jnp.broadcast_to(K, (pg.shape[0], 4))
+        tgt, _ = projective_transform(
+            pg[None], dg[None], intr_full[None],
+            jnp.asarray(self.ii, jnp.int32), jnp.asarray(self.jj, jnp.int32),
+        )
+        self.target = tgt[0]
+
+
+def cam_centers(poses):
+    """World-to-camera 7-vectors -> camera centers in world frame."""
+    inv = lie.se3_inv(jnp.asarray(poses))
+    return np.asarray(inv[:, :3])
+
+
+def drive_frontend(gt):
+    poses_gt, disps_gt, intr = gt
+    cfg = DroidConfig(
+        image_size=(H8 * 8, W8 * 8), buffer=T + 8, warmup=5,
+        keyframe_thresh=0.0, frontend_thresh=64.0, frontend_window=T,
+        frontend_radius=2, frontend_nms=1, max_factors=96,
+        init_iters=6, iters1=3, iters2=2,
+        edge_bucket=8, window_bucket=4,
+    )
+    v = Video(cfg)
+    front = Frontend({"update": oracle_apply}, {}, v, cfg)
+    front.graph = OracleGraph(
+        v, (poses_gt, disps_gt, intr),
+        max_factors=cfg.max_factors, upsample=False,
+    )
+
+    zf = jnp.zeros((1, H8, W8, 128))
+    z = jnp.zeros((H8, W8, 128))
+    for t in range(T):
+        if t == 0:
+            v.append(float(t), None, lie.se3_identity(), 1.0, None,
+                     intr, zf, z, z)
+        else:
+            v.append(float(t), None, None, None, None, intr, zf, z, z)
+        front()
+    return v, front
+
+
+def test_frontend_oracle_ate_gate():
+    gt = gt_scene()
+    v, front = drive_frontend(gt)
+    assert front.is_initialized
+    assert v.counter == T  # keyframe_thresh 0: nothing culled
+
+    est = cam_centers(v.poses[:T])
+    ref = cam_centers(gt[0])
+    err, _ = ate_rmse(est, ref, align=True, correct_scale=True)
+    # trajectory spans ~0.6 units; the engine must recover it to ~1%
+    assert err < 0.01, err
+
+
+def test_backend_oracle_ate_gate():
+    """The backend's chunked lowmem refresh + global BA must also hold the
+    oracle trajectory (covers the chunk tables / scan / damping plumbing)."""
+    gt = gt_scene()
+    v, front = drive_frontend(gt)
+
+    bg = OracleGraph(v, gt, max_factors=16 * T)
+    bg.add_proximity_factors(rad=2, nms=2, thresh=64.0, beta=0.3)
+    assert len(bg.ii) > T  # a real global graph formed
+    bg.update_lowmem(steps=2, itrs=2)
+
+    est = cam_centers(v.poses[:T])
+    ref = cam_centers(gt[0])
+    err, _ = ate_rmse(est, ref, align=True, correct_scale=True)
+    assert err < 0.01, err
