@@ -230,3 +230,122 @@ def test_extract_features_parity(ref):
         np.testing.assert_allclose(
             np.asarray(a), b.numpy().transpose(0, 1, 3, 4, 2), atol=1e-4, rtol=1e-4
         )
+
+
+def test_full_update_step_chain_parity(ref):
+    """VERDICT r3 item 9: the WHOLE per-edge update step chained exactly as
+    factor_graph.update chains it — reprojected motion features + corr
+    lookup -> reference UpdateModule (incl. GraphAgg) -> target update ->
+    reference cvx_upsample — vs the engine's `_update_op_step` +
+    `cvx_upsample`, random weights, <=1e-4.
+
+    The corr volume lookup itself has no CPU torch reference (CUDA-only in
+    the reference), so both sides consume the same JAX-computed corr; with
+    this test green, the only unverified link left for droid.pth day is
+    the BA/geometry stack, which the synthetic oracle gates cover
+    (reference seams: factor_graph.py:198-234, droid_net.py:111-143)."""
+    import jax.numpy as jnp
+
+    from droid_slam_reserch_tpu.engine.factor_graph import _update_op_step
+    from droid_slam_reserch_tpu.engine.net_ops import make_applies
+    from droid_slam_reserch_tpu.geom import coords_grid, projective_transform
+    from droid_slam_reserch_tpu.lie import se3_exp
+    from droid_slam_reserch_tpu.models.convert import convert_torch_checkpoint
+    from droid_slam_reserch_tpu.models.update import cvx_upsample
+    from droid_slam_reserch_tpu.ops.corr import (
+        build_pyramid_flat, corr_lookup_pyramid_flat, corr_volume_flat,
+    )
+
+    torch.manual_seed(5)
+    rng = np.random.RandomState(5)
+    tmod = ref.droid_net.UpdateModule().eval()
+    sd = {f"update.{k}": v for k, v in tmod.state_dict().items()}
+    params = convert_torch_checkpoint(sd)["params"]
+
+    MW, h, w = 6, 12, 16
+    N = MW
+    ii = np.arange(MW, dtype=np.int32)
+    jj = ((ii + 1) % MW).astype(np.int32)
+
+    poses = se3_exp(jnp.asarray(0.03 * rng.standard_normal((MW, 6)), jnp.float32))
+    disps = jnp.asarray(0.8 + 0.2 * rng.rand(MW, h, w), jnp.float32)
+    intr = jnp.array([2.0 * w, 2.0 * w, w / 2.0, h / 2.0])
+    intrinsics = jnp.broadcast_to(intr, (MW, 4))
+    fmaps = jnp.asarray(0.2 * rng.standard_normal((MW, 1, h, w, 128)), jnp.float32)
+    nets_e = jnp.asarray(np.tanh(rng.standard_normal((N, h, w, 128))), jnp.float32)
+    inps_e = jnp.asarray(
+        np.maximum(rng.standard_normal((N, h, w, 128)), 0), jnp.float32
+    )
+
+    coords1, _ = projective_transform(
+        poses[None], disps[None], intrinsics[None],
+        jnp.asarray(ii), jnp.asarray(jj),
+    )
+    coords1 = coords1[0]
+    target = coords1 + jnp.asarray(
+        0.5 * rng.standard_normal((N, h, w, 2)), jnp.float32
+    )
+
+    # ---- engine side: the fused per-edge step
+    applies = make_applies("float32")
+    cams = jnp.zeros(N, jnp.int32)
+    net_j, target_j, weight_j, eta_j, upmask_j, coords1_j = _update_op_step(
+        applies["update"], params, poses, disps, intrinsics, fmaps,
+        nets_e, inps_e, target, jnp.asarray(ii), jnp.asarray(jj), cams,
+        jnp.asarray(ii), MW,
+    )
+    np.testing.assert_allclose(np.asarray(coords1_j), np.asarray(coords1),
+                               atol=1e-5, rtol=1e-5)
+    up_j = cvx_upsample(disps[..., None], upmask_j.astype(jnp.float32))[..., 0]
+
+    # ---- reference side: same chain through the torch modules
+    coords0 = coords_grid(h, w)
+    motn = jnp.clip(
+        jnp.concatenate([coords1 - coords0, target - coords1], axis=-1),
+        -64.0, 64.0,
+    )
+    pyr = build_pyramid_flat(corr_volume_flat(fmaps[jnp.asarray(ii), 0],
+                                              fmaps[jnp.asarray(jj), 0]))
+    corr = corr_lookup_pyramid_flat(
+        pyr, coords1.reshape(N, h * w, 2)
+    ).reshape(N, h, w, -1)
+
+    def nchw5(x):
+        return torch.from_numpy(
+            np.asarray(x, np.float32).transpose(0, 3, 1, 2).copy()[None]
+        )
+
+    with torch.no_grad():
+        net_o, delta_o, weight_o, eta_o, upmask_o = tmod(
+            nchw5(nets_e), nchw5(inps_e), nchw5(corr), nchw5(motn),
+            torch.from_numpy(ii.astype(np.int64)),
+            torch.from_numpy(jj.astype(np.int64)),
+        )
+        # reference UpdateModule already permutes delta/weight to [..., 2]
+        # (droid_net.py:130-134)
+        target_o = torch.from_numpy(
+            np.asarray(coords1, np.float32).copy()
+        ) + delta_o[0]
+        up_o = ref.droid_net.cvx_upsample(
+            torch.from_numpy(np.asarray(disps, np.float32))[..., None],
+            upmask_o[0],
+        )[..., 0]
+
+    np.testing.assert_allclose(
+        np.asarray(net_j), net_o[0].numpy().transpose(0, 2, 3, 1),
+        atol=1e-4, rtol=1e-4,
+    )
+    np.testing.assert_allclose(np.asarray(target_j), target_o.numpy(),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(weight_j), weight_o[0].numpy(), atol=1e-4, rtol=1e-4,
+    )
+    np.testing.assert_allclose(np.asarray(eta_j), eta_o[0].numpy(),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(upmask_j),
+        upmask_o[0].numpy().transpose(0, 2, 3, 1),
+        atol=1e-4, rtol=1e-4,
+    )
+    np.testing.assert_allclose(np.asarray(up_j), up_o.numpy(),
+                               atol=1e-4, rtol=1e-4)
