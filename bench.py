@@ -45,7 +45,6 @@ def main():
     import jax.numpy as jnp
 
     from droid_slam_reserch_tpu.ba.solver import ba_solve, schur_pairs
-    from droid_slam_reserch_tpu.engine.factor_graph import _update_op_step
     from droid_slam_reserch_tpu.engine.net_ops import make_applies
     from droid_slam_reserch_tpu.engine.droid import init_params
     from droid_slam_reserch_tpu.utils import DroidConfig

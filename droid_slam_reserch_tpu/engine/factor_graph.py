@@ -134,13 +134,17 @@ def _update_op_step(
     jj,
     cams,
     kk,
+    emask,
     num_segments,
     dtype=jnp.float32,
 ):
     """Fused per-edge update: reproject + motion + fused corr + GRU + agg.
 
     Mirrors reference factor_graph.py:198-234 (and the per-chunk body of
-    update_lowmem :271-290) as a single XLA program.
+    update_lowmem :271-290) as a single XLA program.  emask [N] excludes
+    padded edges from GraphAgg's per-frame mean (models/update.py:61-68
+    has no implicit mask), so damping/upmask are never diluted by
+    zero-state fakes.
     """
     h8, w8 = disps.shape[-2:]
     coords0 = coords_grid(h8, w8)
@@ -161,10 +165,6 @@ def _update_op_step(
     lookup = _build_corr_lookup(f1, f2, dtype)
     corr = lookup(coords1.reshape(E, h8 * w8, 2)).reshape(E, h8, w8, -1)
 
-    # padded edges carry kk == num_segments (sentinel): they aggregate into
-    # an extra segment that is sliced away, so GraphAgg's per-frame
-    # scatter-mean (models/update.py:61-68, no edge mask) never dilutes a
-    # real frame's damping with zero-state fake edges
     net, delta, weight, eta, upmask = apply_fn(
         params,
         nets_e[None],
@@ -172,10 +172,9 @@ def _update_op_step(
         corr[None].astype(dtype),
         motn[None].astype(dtype),
         kk,
-        num_segments + 1,
+        num_segments,
+        emask,
     )
-    eta = eta[:, :num_segments]
-    upmask = upmask[:, :num_segments]
 
     target_new = coords1 + delta[0].astype(jnp.float32)
     weight_new = weight[0].astype(jnp.float32)
@@ -197,6 +196,7 @@ def _update_op_step_alt(
     jj,
     cams,
     kk,
+    emask,
     num_segments,
     dtype=jnp.float32,
 ):
@@ -223,7 +223,6 @@ def _update_op_step_alt(
         f2_pyr.append(pool2x_fmap(f2_pyr[-1]))
     corr = altcorr_pyramid(f1, f2_pyr, coords1)
 
-    # sentinel segment for padded edges — see _update_op_step
     net, delta, weight, eta, upmask = apply_fn(
         params,
         nets_e[None],
@@ -231,10 +230,9 @@ def _update_op_step_alt(
         corr[None].astype(dtype),
         motn[None].astype(dtype),
         kk,
-        num_segments + 1,
+        num_segments,
+        emask,
     )
-    eta = eta[:, :num_segments]
-    upmask = upmask[:, :num_segments]
 
     target_new = coords1 + delta[0].astype(jnp.float32)
     weight_new = weight[0].astype(jnp.float32)
@@ -265,16 +263,13 @@ def _lowmem_chunk_step(apply_fn, params, poses, disps, intrinsics, fmaps,
         f2_pyr.append(pool2x_fmap(f2_pyr[-1]))
     corr = altcorr_pyramid(f1, f2_pyr, coords1)
 
-    # padded fake edges carry kk == S (sentinel segment, sliced away) so
-    # GraphAgg's per-frame mean never dilutes a real slot's eta/upmask —
+    # emask excludes padded fake edges from GraphAgg's per-frame mean —
     # with EB padded to the global max chunk size, sparse chunks would
-    # otherwise aggregate mostly zero-state fakes into slot 0
+    # otherwise dilute a real slot's eta/upmask with zero-state fakes
     nets, delta, weight, eta, upmask = apply_fn(
         params, nets[None], inps[ii][None], corr[None].astype(dtype),
-        motn[None].astype(dtype), kk, S + 1,
+        motn[None].astype(dtype), kk, S, emask,
     )
-    eta = eta[:, :S]
-    upmask = upmask[:, :S]
     nets = nets[0]
     target = coords1 + delta[0].astype(jnp.float32)
     weight = weight[0].astype(jnp.float32) * emask[:, None, None, None]
@@ -457,7 +452,7 @@ from ..models.update import cvx_upsample as cvx_upsample_fn  # noqa: E402
 @partial(
     jax.jit,
     static_argnames=("apply_fn", "rounds", "ba_iters", "dtype", "use_pallas",
-                     "motion_only"),
+                     "motion_only", "with_cull"),
 )
 def _fused_rounds(
     apply_fn,
@@ -495,6 +490,7 @@ def _fused_rounds(
     dtype=jnp.float32,
     use_pallas=False,
     motion_only=False,
+    with_cull=False,
 ):
     """K rounds of (update op + dense BA) as ONE XLA program.
 
@@ -589,13 +585,12 @@ def _fused_rounds(
             corr = lookup(cflat)
         corr = corr.reshape(E, h8, w8, -1)
 
-        # sentinel segment MW for padded edges — see _update_op_step
+        # active_mask excludes padded edges from GraphAgg's per-frame mean
         nets, delta, weight, eta, upmask = apply_fn(
             params, nets[None], inps_e[None], corr[None].astype(dtype),
-            motn[None].astype(dtype), kk_a, MW + 1,
+            motn[None].astype(dtype), kk_a, MW,
+            active_mask.astype(jnp.float32),
         )
-        eta = eta[:, :MW]
-        upmask = upmask[:, :MW]
         nets = nets[0]
         target_a = coords1 + delta[0].astype(jnp.float32)
         weight_a = weight[0].astype(jnp.float32) * amask
@@ -625,12 +620,17 @@ def _fused_rounds(
     # post-update d(t1-3, t1-2) check (reference droid_frontend.py:56-64)
     # used to be its own dispatch + host sync per keyframe — here the
     # bidirectional mean is computed on the final state in-graph and the
-    # host reads it off this program's output (one sync per keyframe total)
-    d2 = frame_distance(
-        poses, disps, intr, cull_ij, cull_ij[::-1],
-        beta=beta, min_depth=min_depth,
-    )
-    d_cull = 0.5 * (d2[0] + d2[1])
+    # host reads it off this program's output (one sync per keyframe
+    # total).  Static-gated: the post-loop tail serializes ~0.5 ms after
+    # the rounds, so only the frontend's culling call pays it.
+    if with_cull:
+        d2 = frame_distance(
+            poses, disps, intr, cull_ij, cull_ij[::-1],
+            beta=beta, min_depth=min_depth,
+        )
+        d_cull = 0.5 * (d2[0] + d2[1])
+    else:
+        d_cull = jnp.float32(0.0)
     # the LAST round's per-frame upsampling mask rides out of the fused loop
     # so `--upsample` keeps the one-dispatch path (reference upsamples inside
     # each update, factor_graph.py:246-248; the final mask is what persists)
@@ -786,8 +786,8 @@ class FactorGraph:
         MW = _round_up(t1_eff - m0, self.cfg.window_bucket)
         m0 = max(0, t1_eff - MW)
         kk = np.clip(ii_p - m0, 0, MW - 1).astype(np.int32)
-        kk[n:] = MW  # sentinel segment — padded edges never touch real frames
         cams = ((ii_p == jj_p) & video.stereo).astype(np.int32)
+        emask = (np.arange(n_pad) < n).astype(np.float32)
 
         # pad edge state
         h8, w8 = video.h8, video.w8
@@ -805,7 +805,7 @@ class FactorGraph:
             video.poses, video.disps, video.intrinsics, video.fmaps,
             net_e, inp_e, target_e,
             jnp.asarray(ii_p), jnp.asarray(jj_p), jnp.asarray(cams),
-            jnp.asarray(kk), MW, dtype=self.dtype,
+            jnp.asarray(kk), jnp.asarray(emask), MW, dtype=self.dtype,
         )
 
         self.net = net[:n]
@@ -923,7 +923,6 @@ class FactorGraph:
         free = np.zeros(MW, bool)
         free[t0 - m0 : t1 - m0] = True
         kk_a = np.clip(ii_al, 0, MW - 1).astype(np.int32)
-        kk_a[n:] = MW  # sentinel segment for padded edges
         active_mask = np.arange(n_pad) < n
         has_edge = np.zeros(MW, bool)
         has_edge[self.ii - m0] = True
@@ -966,6 +965,7 @@ class FactorGraph:
                 damping_eps=cfg.damping_eps, min_depth=cfg.min_depth,
                 beta=cfg.beta, dtype=self.dtype,
                 use_pallas=resolve_pallas_ba(cfg), motion_only=motion_only,
+                with_cull=cull_pair is not None,
             )
 
         if _os.environ.get("DROID_TIMING"):
@@ -999,8 +999,8 @@ class FactorGraph:
         MW = _round_up(t1_eff - m0, self.cfg.window_bucket)
         m0 = max(0, t1_eff - MW)
         kk = np.clip(ii_p - m0, 0, MW - 1).astype(np.int32)
-        kk[n:] = MW  # sentinel segment for padded edges
         cams = ((ii_p == jj_p) & video.stereo).astype(np.int32)
+        emask = (np.arange(n_pad) < n).astype(np.float32)
 
         h8, w8 = video.h8, video.w8
         pad = n_pad - n
@@ -1016,7 +1016,7 @@ class FactorGraph:
             video.poses, video.disps, video.intrinsics, video.fmaps,
             net_e, inp_e, target_e,
             jnp.asarray(ii_p), jnp.asarray(jj_p), jnp.asarray(cams),
-            jnp.asarray(kk), MW, dtype=self.dtype,
+            jnp.asarray(kk), jnp.asarray(emask), MW, dtype=self.dtype,
         )
         self.net = net[:n]
         return np.asarray(jnp.sum(weight[:n], axis=(1, 2, 3)))
@@ -1076,7 +1076,7 @@ class FactorGraph:
         emask_ck = np.zeros((nC_pad, EB), np.float32)
         pos_ck = np.zeros((nC_pad, EB), np.int64)  # edge index (sorted order)
         frame_ck = np.full((nC_pad, s), t, np.int32)  # sentinel = t (no edges)
-        kk_ck = np.full((nC_pad, EB), s, np.int32)  # sentinel segment = s
+        kk_ck = np.zeros((nC_pad, EB), np.int32)
         ofs = 0
         for c in range(nC):
             n = int(counts[c])

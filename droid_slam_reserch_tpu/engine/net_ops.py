@@ -50,9 +50,11 @@ def make_applies(dtype_str="float32"):
         net, inp = jnp.split(ctx, 2, axis=-1)
         return jnp.tanh(net), jax.nn.relu(inp)
 
-    def update_apply(params, net, inp, corr, flow, kk=None, num_segments=None):
+    def update_apply(params, net, inp, corr, flow, kk=None, num_segments=None,
+                     emask=None):
         return update.apply(
-            {"params": params["update"]}, net, inp, corr, flow, kk, num_segments
+            {"params": params["update"]}, net, inp, corr, flow, kk,
+            num_segments, emask,
         )
 
     return {"fnet": fnet_apply, "cnet": cnet_apply, "update": update_apply}

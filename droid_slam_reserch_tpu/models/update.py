@@ -44,13 +44,16 @@ class GraphAgg(nn.Module):
     """Per-keyframe aggregation of edge hidden states (reference :44-75).
 
     net: [B, N, H, W, 128] edge states; kk: [N] segment id (edge -> source
-    frame slot); num_segments: static segment count.  Returns per-frame
-    damping eta [B, M, H, W] and upsampling mask [B, M, H, W, 576].
+    frame slot); num_segments: static segment count; emask: optional [N]
+    edge validity — masked (padded) edges are excluded from the per-frame
+    mean, matching the reference's scatter over real edges only.  Returns
+    per-frame damping eta [B, M, H, W] and upsampling mask
+    [B, M, H, W, 576].
     """
     dtype: jnp.dtype = None
 
     @nn.compact
-    def __call__(self, net, kk, num_segments):
+    def __call__(self, net, kk, num_segments, emask=None):
         B, N, H, W, C = net.shape
         x = nn.relu(tconv(128, 3, name="conv1", dtype=self.dtype)(net.reshape(B * N, H, W, C)))
         x = x.reshape(B, N, H, W, 128)
@@ -61,6 +64,8 @@ class GraphAgg(nn.Module):
         onehot = (
             jnp.asarray(kk)[None, :] == jnp.arange(num_segments)[:, None]
         ).astype(x.dtype)  # [M, N]
+        if emask is not None:
+            onehot = onehot * jnp.asarray(emask, x.dtype)[None, :]
         sums = jnp.einsum(
             "mn,bnhwc->bmhwc", onehot, x, preferred_element_type=jnp.float32
         ).astype(x.dtype)
@@ -89,7 +94,8 @@ class UpdateModule(nn.Module):
     dtype: jnp.dtype = None
 
     @nn.compact
-    def __call__(self, net, inp, corr, flow=None, kk=None, num_segments=None):
+    def __call__(self, net, inp, corr, flow=None, kk=None, num_segments=None,
+                 emask=None):
         B, N, H, W, _ = net.shape
         if flow is None:
             flow = jnp.zeros((B, N, H, W, 4), net.dtype)
@@ -118,6 +124,8 @@ class UpdateModule(nn.Module):
         weight = weight.reshape(B, N, H, W, 2)
 
         if kk is not None:
-            eta, upmask = GraphAgg(name="agg", dtype=self.dtype)(net, kk, num_segments)
+            eta, upmask = GraphAgg(name="agg", dtype=self.dtype)(
+                net, kk, num_segments, emask
+            )
             return net, delta, weight, eta, upmask
         return net, delta, weight

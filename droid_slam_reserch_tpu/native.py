@@ -42,7 +42,16 @@ def _load():
         lib.dedup_edges.restype = None
         lib.dedup_edges.argtypes = [i64p, i64p, ctypes.c_int, i64p, i64p, ctypes.c_int, u8p]
         _lib = lib
-    except Exception:
+    except Exception as e:
+        # no silent caps: the numpy fallbacks are correct but slower on
+        # large graphs — say so once
+        from .utils.log import log_once
+
+        log_once(
+            "native_build_failed",
+            f"native graph library unavailable ({type(e).__name__}: {e}); "
+            "using numpy fallbacks for Schur buckets / NMS / dedup",
+        )
         _lib = None
     return _lib
 

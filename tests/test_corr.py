@@ -266,7 +266,8 @@ class TestAltcorrBackendStep:
         inps_e = 0.1 * jax.random.normal(key, (E, h8, w8, 128))
         target = jnp.zeros((E, h8, w8, 2))
         argsv = (applies["update"], params, poses, disps, intr, fmaps,
-                 nets_e, inps_e, target, ii, jj, cams, ii, T)
+                 nets_e, inps_e, target, ii, jj, cams, ii,
+                 jnp.ones(E, jnp.float32), T)
         ref = _update_op_step(*argsv)
         alt = _update_op_step_alt(*argsv)
         # coords identical; net/target/weight close (coarse-level approx)

@@ -51,7 +51,8 @@ def gt_scene():
     return poses_gt, disps_gt, intr
 
 
-def oracle_apply(params, net, inp, corr, motn, kk=None, num_segments=None):
+def oracle_apply(params, net, inp, corr, motn, kk=None, num_segments=None,
+                 emask=None):
     """Oracle update op: pull every edge to its stored target."""
     delta = motn[..., 2:4].astype(jnp.float32)
     weight = jnp.ones_like(delta)

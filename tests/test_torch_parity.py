@@ -292,7 +292,7 @@ def test_full_update_step_chain_parity(ref):
     net_j, target_j, weight_j, eta_j, upmask_j, coords1_j = _update_op_step(
         applies["update"], params, poses, disps, intrinsics, fmaps,
         nets_e, inps_e, target, jnp.asarray(ii), jnp.asarray(jj), cams,
-        jnp.asarray(ii), MW,
+        jnp.asarray(ii), jnp.ones(N, jnp.float32), MW,
     )
     np.testing.assert_allclose(np.asarray(coords1_j), np.asarray(coords1),
                                atol=1e-5, rtol=1e-5)
