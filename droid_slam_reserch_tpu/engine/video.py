@@ -329,7 +329,9 @@ class Video:
         exchanged (block-sparse all_gathers)."""
         import jax
 
-        from ..parallel import dist_ba_solve, make_mesh, partition_edges
+        from ..parallel import (
+            dist_ba_solve, make_mesh, partition_edges, resolve_exchange,
+        )
 
         cfg = self.cfg
         if getattr(self, "_kf_mesh", None) is None or self._kf_mesh.size != shards:
@@ -347,7 +349,7 @@ class Video:
             jnp.asarray(be_s), jnp.asarray(bm_s),
             jnp.asarray(k0_s), jnp.asarray(rlen_s),
             iterations=iterations, lm=lm, ep=ep, alpha=cfg.rgbd_alpha,
-            min_depth=cfg.min_depth,
+            min_depth=cfg.min_depth, exchange=resolve_exchange(),
         )
 
     # --------------------------------------------------------------- export

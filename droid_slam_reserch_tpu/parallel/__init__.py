@@ -11,7 +11,7 @@ The reference's parallelism inventory (SURVEY.md §2.7) mapped TPU-native:
   psum-reduced and solved replicated.
 """
 from .mesh import make_mesh
-from .dist_ba import dist_ba_solve, partition_edges
+from .dist_ba import dist_ba_solve, partition_edges, resolve_exchange
 from .distributed import init_distributed, is_distributed
 from .train_parallel import make_parallel_train_step, shard_params_fsdp
 

@@ -11,20 +11,30 @@ Schur elimination are fully local.  Two design rules make it scale:
    makes every shard pay the global-max padding (the round-3 scaling
    anti-result).  Ranges have different lengths; shapes stay static by
    padding rows to the longest range and masking.
-2. **Root-only pose solve.**  Per-edge pose blocks and per-bucket Schur
-   blocks are all_gathered in block-sparse form (~constant bytes because
-   the partitioning is edge-balanced), but only shard 0 scatters them into
-   the dense [6MW, 6MW] system and runs the damped Cholesky; the solution
-   is broadcast with one psum of dx (73 KB at MW=512).  The O(MW^2)
-   assembly and O(MW^3) factorization are on the critical path either way
-   — replicating them buys nothing and (on shared-core virtual meshes)
-   multiplies their CPU cost by S.
+2. **Platform-matched pose-system exchange** (static ``exchange`` arg):
 
-Comm volume per GN iteration (fp32): all_gather pose blocks
+   - ``"gather_root"`` (CPU default): per-edge pose blocks and per-bucket
+     Schur blocks are all_gathered in block-sparse form (~constant bytes
+     because the partitioning is edge-balanced); only shard 0 scatters
+     them into the dense [6MW, 6MW] system and runs the damped Cholesky,
+     broadcasting dx with one psum (73 KB at MW=512).  Right where
+     scatter-adds are cheap and cores are shared: the serial residue is
+     one assembly+factorization (~0.43 s at MW=512 on one CPU core).
+   - ``"dense_psum"`` (TPU default): each shard scatters its OWN blocks
+     into the dense [MW, MW, 6, 6] Hessian and Schur tensors locally and
+     the dense tensors are psum'd; the damped Cholesky is replicated.
+     Right on TPU, where scatter-adds SERIALIZE (~8.6 us/block measured
+     on v5e: a root-side scatter of all 58k blocks at MW=512 would cost
+     ~0.5 s serial, while per-shard local scatters run in parallel at
+     ~K/S blocks each) and the MXU factorizes 3072^2 in 4.8 ms; the
+     2 x 37.8 MB dense psums cost ~1.7 ms on one v5e ICI link.
+
+Comm volume per GN iteration (fp32), gather_root: all_gather pose blocks
 4*nE*(36+2)*4 B, all_gather Schur blocks ~MW*(R+1)^2*36*4 B + indices,
-psum v/vE/dx 3*6*MW*4 B.  At MW=512, nE=1021, R=4 that is ~5.6 MB —
-sub-millisecond on ICI; the shard-local block build + Schur einsum
-(O(nE*HW) and O(MW*R^2*HW) FLOPs) is what shards.
+psum v/vE/dx 3*6*MW*4 B — ~8 MB at MW=512/deg-8.  dense_psum: two dense
+[MW,MW,6,6] psums = 2*36*MW^2*4 B (75 MB at MW=512) + the small psums.
+Either rides ICI in low single-digit ms; the shard-local block build +
+Schur einsum (O(nE*HW) and O(MW*R^2*HW) FLOPs) is what scales.
 
 ``partition_edges`` does the host-side bucketing; ``dist_ba_solve`` is the
 shard_map program.  Numerically identical to ba_solve (tested).
@@ -111,10 +121,19 @@ def partition_edges(ii, jj, target, weight, MW, n_shards, edge_bucket=8):
     return ii_s, jj_s, tgt_s, wgt_s, be_s, bm_s, k0, rlen
 
 
+def resolve_exchange(exchange="auto"):
+    """'auto' -> dense_psum on TPU meshes (parallel local scatters, MXU
+    Cholesky), gather_root elsewhere (serial scatter is cheap on CPU and
+    replicating it across shared cores is not)."""
+    if exchange != "auto":
+        return exchange
+    return "dense_psum" if jax.devices()[0].platform == "tpu" else "gather_root"
+
+
 @partial(
     jax.jit,
     static_argnames=("mesh", "axis", "iterations", "lm", "ep", "alpha",
-                     "min_depth"),
+                     "min_depth", "exchange"),
 )
 def dist_ba_solve(
     mesh,
@@ -138,10 +157,13 @@ def dist_ba_solve(
     alpha=0.05,
     min_depth=0.25,
     axis="kf",
+    exchange="gather_root",
 ):
     """Distributed windowed BA.  poses/disps/eta/free_mask are replicated
     [MW, ...]; *_s arrays carry a leading shard axis from partition_edges.
-    Returns updated (poses, disps), replicated.
+    Returns updated (poses, disps), replicated.  ``exchange`` must be
+    pre-resolved (resolve_exchange) — see the module docstring for the
+    two strategies.
 
     The whole solve (shard_map + iteration loop) is one jitted program —
     shard_map outside jit would execute op-by-op (measured 24x slower on the
@@ -246,35 +268,54 @@ def dist_ba_solve(
         )[:MW]
         vE = jax.lax.psum(vE, axis)
 
-        # block-sparse exchange of the pose system: per-edge 6x6 blocks and
-        # per-bucket Schur blocks, ~constant total bytes (edge-balanced)
         blocks = jnp.stack([Hii, Hij, Hji, Hjj], 0)      # [4, nE, 6, 6]
         bi = jnp.stack([ii, ii, jj, jj], 0)
         bj = jnp.stack([ii, jj, ii, jj], 0)
-        blocks_g = jax.lax.all_gather(blocks, axis)       # [S, 4, nE, 6, 6]
-        bi_g = jax.lax.all_gather(bi, axis)
-        bj_g = jax.lax.all_gather(bj, axis)
-        Sk_g = jax.lax.all_gather(Sk, axis)
-        pi_g = jax.lax.all_gather(pose_idx, axis)
-        ok_g = jax.lax.all_gather(pair_ok, axis)
 
-        # root-only dense assembly + damped Cholesky; dx broadcast by psum
-        def root_solve(_):
-            Hmat = _scatter_blocks(
-                blocks_g, bi_g, bj_g, jnp.ones(bi_g.shape, bool), MW
+        if exchange == "dense_psum":
+            # TPU strategy: scatter LOCAL blocks densely (per-shard
+            # scatters run in parallel; TPU scatter-adds serialize, so
+            # centralizing them on a root would cost S times more wall
+            # clock), psum the dense tensors over ICI, factorize
+            # replicated on the MXU
+            Hl = _scatter_blocks(blocks, bi, bj, jnp.ones(bi.shape, bool), MW)
+            Hmat = jax.lax.psum(Hl, axis)
+            Sl = _scatter_blocks(
+                Sk, pose_idx[:, :, None], pose_idx[:, None, :], pair_ok, MW
             )
+            Smat = jax.lax.psum(Sl, axis)
             A_pose = _mask_fixed(_pose_matrix(Hmat, MW), free6)
-            S = _scatter_blocks(
-                Sk_g, pi_g[..., :, None], pi_g[..., None, :], ok_g, MW
-            )
-            S_pose = A_pose - _pose_matrix(S, MW)
+            S_pose = A_pose - _pose_matrix(Smat, MW)
             rhs = v.reshape(6 * MW) - (vE * free[:, None]).reshape(6 * MW)
-            return _damped_solve(S_pose, rhs, lm, ep)
+            dx_flat = _damped_solve(S_pose, rhs, lm, ep)
+        else:
+            # CPU strategy: block-sparse all_gathers (~constant total
+            # bytes, edge-balanced), root-only dense assembly + damped
+            # Cholesky, dx broadcast by psum
+            blocks_g = jax.lax.all_gather(blocks, axis)   # [S, 4, nE, 6, 6]
+            bi_g = jax.lax.all_gather(bi, axis)
+            bj_g = jax.lax.all_gather(bj, axis)
+            Sk_g = jax.lax.all_gather(Sk, axis)
+            pi_g = jax.lax.all_gather(pose_idx, axis)
+            ok_g = jax.lax.all_gather(pair_ok, axis)
 
-        dx_flat = jax.lax.cond(
-            shard_id == 0, root_solve, lambda _: jnp.zeros(6 * MW), None
-        )
-        dx = jax.lax.psum(dx_flat, axis).reshape(MW, 6) * free[:, None]
+            def root_solve(_):
+                Hmat = _scatter_blocks(
+                    blocks_g, bi_g, bj_g, jnp.ones(bi_g.shape, bool), MW
+                )
+                A_pose = _mask_fixed(_pose_matrix(Hmat, MW), free6)
+                S = _scatter_blocks(
+                    Sk_g, pi_g[..., :, None], pi_g[..., None, :], ok_g, MW
+                )
+                S_pose = A_pose - _pose_matrix(S, MW)
+                rhs = v.reshape(6 * MW) - (vE * free[:, None]).reshape(6 * MW)
+                return _damped_solve(S_pose, rhs, lm, ep)
+
+            dx_flat = jax.lax.cond(
+                shard_id == 0, root_solve, lambda _: jnp.zeros(6 * MW), None
+            )
+            dx_flat = jax.lax.psum(dx_flat, axis)
+        dx = dx_flat.reshape(MW, 6) * free[:, None]
 
         # local depth back-substitution
         dx_rows = jnp.where(row_ok[..., None], dx[pose_idx], 0.0)

@@ -266,3 +266,41 @@ def test_multiprocess_distributed(tmp_path):
     np.testing.assert_allclose(r0["param_leaf"], r1["param_leaf"], rtol=1e-6)
     np.testing.assert_allclose(r0["dist_poses"], r1["dist_poses"], atol=1e-6)
     assert float(r0["dist_ba_err_p"]) < 5e-4
+
+
+def test_dist_ba_dense_psum_exchange_matches():
+    """The TPU-oriented dense_psum exchange (local scatters + dense psum +
+    replicated MXU solve) must match gather_root and the single-device
+    solver."""
+    key = jax.random.PRNGKey(0)
+    poses_gt, disps, intr, ii, jj, target, weight = make_problem(key, P=8)
+    P_ = poses_gt.shape[0]
+    dxi = 0.02 * jax.random.normal(jax.random.PRNGKey(1), (P_, 6)).at[0].set(0.0)
+    poses0 = lie.se3_retr(poses_gt, dxi)
+    disps0 = disps * 1.05
+    eta = 1e-4 * jnp.ones((P_, H, W))
+    free = jnp.arange(P_) >= 1
+    dsens = jnp.zeros_like(disps0)
+
+    be, bm = schur_pairs(np.asarray(ii), P_)
+    p1, d1 = ba_solve(
+        poses0, disps0, intr, dsens, target, weight, eta,
+        jnp.asarray(ii), jnp.asarray(jj), free, jnp.asarray(be), jnp.asarray(bm),
+        iterations=2, min_depth=0.2,
+    )
+
+    mesh = make_mesh((4,), ("kf",), devices=jax.devices()[:4])
+    ii_s, jj_s, tgt_s, wgt_s, be_s, bm_s, k0_s, rlen_s = partition_edges(
+        np.asarray(ii), np.asarray(jj), np.asarray(target), np.asarray(weight),
+        P_, 4,
+    )
+    p2, d2 = dist_ba_solve(
+        mesh, poses0, disps0, intr, dsens,
+        jnp.asarray(tgt_s), jnp.asarray(wgt_s), eta,
+        jnp.asarray(ii_s), jnp.asarray(jj_s), free,
+        jnp.asarray(be_s), jnp.asarray(bm_s),
+        jnp.asarray(k0_s), jnp.asarray(rlen_s),
+        iterations=2, min_depth=0.2, exchange="dense_psum",
+    )
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p1), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1), atol=5e-4)
