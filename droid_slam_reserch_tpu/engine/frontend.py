@@ -96,6 +96,11 @@ class Frontend:
         d_cull = self._run_updates(
             self.iters1, cull_pair=(self.t1 - 3, self.t1 - 2)
         )
+        if d_cull is None:  # empty graph: no fused program ran
+            d_cull = self.video.distance(
+                [self.t1 - 3], [self.t1 - 2], beta=self.beta,
+                bidirectional=True,
+            )[0]
         from ..utils.timing import count_sync
 
         count_sync()  # culling decision rides the fused program's output
