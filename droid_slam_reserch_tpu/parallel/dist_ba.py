@@ -111,6 +111,10 @@ def partition_edges(ii, jj, target, weight, MW, n_shards, edge_bucket=8):
         if n:
             tgt_s[s, :n] = np.asarray(target[g])
             wgt_s[s, :n] = np.asarray(weight[g])
+        # Rmax bounds the REAL per-bucket degree; padded edges land in
+        # bucket k0 AFTER the real ones (they sit at positions >= n and
+        # schur_pairs fills in edge order), so truncation at Rmax can only
+        # ever drop zero-weight padding, never a real edge
         be, bm = schur_pairs(ii_s[s] - k0[s], int(rlen[s]), max_deg=Rmax)
         be_s[s, : rlen[s]] = be
         bm_s[s, : rlen[s]] = bm

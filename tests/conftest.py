@@ -20,10 +20,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # persistent XLA compile cache: the suite is compile-dominated (dozens of
 # jitted programs), so re-runs drop from ~15 min to the few minutes of
-# actual execution once the cache is warm.
-_cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                      ".jax_cache_tests")
-os.makedirs(_cache, exist_ok=True)
+# actual execution once the cache is warm.  Keyed per host CPU profile —
+# XLA:CPU AOT entries from a different machine can SIGILL/segfault on
+# load (droid_slam_reserch_tpu/utils/cachedir.py).  Loaded by file path
+# so the package (and with it jax) is not imported before the env setup.
+import importlib.util
+
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_spec = importlib.util.spec_from_file_location(
+    "_droid_cachedir",
+    os.path.join(_repo, "droid_slam_reserch_tpu", "utils", "cachedir.py"),
+)
+_cachedir = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_cachedir)
+_cache = _cachedir.host_cache_dir(os.path.join(_repo, ".jax_cache_tests"))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache)
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
 

@@ -24,7 +24,17 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, repo)
-cache = os.path.join(repo, ".jax_cache_tests")
+# file-path load: don't import the package (and jax) before
+# jax.distributed.initialize below
+import importlib.util
+
+_spec = importlib.util.spec_from_file_location(
+    "_droid_cachedir",
+    os.path.join(repo, "droid_slam_reserch_tpu", "utils", "cachedir.py"),
+)
+_cachedir = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_cachedir)
+cache = _cachedir.host_cache_dir(os.path.join(repo, ".jax_cache_tests"))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache)
 
 import numpy as np

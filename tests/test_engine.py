@@ -307,3 +307,24 @@ def test_lowmem_refresh_sharded_matches_single(shared_params):
     p8, d8 = run(-1)
     np.testing.assert_allclose(p8, p1, atol=2e-4)
     np.testing.assert_allclose(d8, d1, atol=2e-3)
+
+
+def test_steady_state_syncs_per_frame(shared_params):
+    """The sync-collapse contract: steady-state tracking performs exactly
+    ONE blocking host sync per input frame (admission) plus one per
+    keyframe (the culling distance riding the fused program) — the
+    proximity matrix must come from the async prefetch, not a blocking
+    dispatch (PROFILE.md r4 sync collapse)."""
+    from droid_slam_reserch_tpu.utils.timing import SYNC_COUNT
+
+    droid = Droid(make_config(), params=shared_params)
+    rng = np.random.RandomState(0)
+    for t in range(8):  # init + settle
+        droid.track(float(t), synth_frame(t, rng), intrinsics=INTR)
+
+    SYNC_COUNT[0] = 0
+    n_more = 4
+    for t in range(8, 8 + n_more):
+        droid.track(float(t), synth_frame(t, rng), intrinsics=INTR)
+    # filter_thresh=-1 keyframes every frame: admission + cull = 2/frame
+    assert SYNC_COUNT[0] == 2 * n_more, SYNC_COUNT[0]
