@@ -18,6 +18,19 @@ if "xla_force_host_platform_device_count" not in flags:
 import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# XLA:CPU's LLVM passes recurse deeply on the big SPMD training modules;
+# with the default 8 MB stack the FIRST train-step compile late in a long
+# suite run segfaulted intermittently (backend_compile_and_load) while the
+# same compile passes in isolation — classic stack headroom.  Main-thread
+# stacks grow on demand up to RLIMIT_STACK, so lift the cap.
+try:
+    import resource
+
+    resource.setrlimit(resource.RLIMIT_STACK,
+                       (resource.RLIM_INFINITY, resource.RLIM_INFINITY))
+except Exception:
+    pass
+
 # persistent XLA compile cache: the suite is compile-dominated (dozens of
 # jitted programs), so re-runs drop from ~15 min to the few minutes of
 # actual execution once the cache is warm.  Keyed per host CPU profile —

@@ -30,12 +30,16 @@ H8, W8 = 12, 16
 T = 12
 
 
-def gt_scene():
-    """Smooth forward+turn trajectory with spatially varying depth."""
+def gt_scene(pause_at=None):
+    """Smooth forward+turn trajectory with spatially varying depth.
+    pause_at: optional frame index with (near) zero motion — the engine's
+    flow-distance culling should remove exactly that keyframe."""
     xi = np.zeros((T, 6), np.float32)
     xi[:, 0] = 0.05
     xi[:, 1] = 0.01 * np.sin(np.arange(T))
     xi[:, 4] = 0.012
+    if pause_at is not None:
+        xi[pause_at] = 1e-4
     poses = [np.array([0, 0, 0, 0, 0, 0, 1], np.float32)]
     for t in range(1, T):
         step = np.asarray(lie.se3_exp(jnp.asarray(xi[t])[None]))[0]
@@ -67,24 +71,44 @@ def oracle_apply(params, net, inp, corr, motn, kk=None, num_segments=None,
 
 class OracleGraph(FactorGraph):
     """FactorGraph whose per-edge targets are re-seeded from GT geometry
-    after every edge addition (the oracle apply then preserves them)."""
+    after every edge addition (the oracle apply then preserves them).
+
+    ``slot2gt`` maps buffer slots to GT frame indices so keyframe removal
+    (rm_keyframe's shift-down + edge reindex) keeps the oracle exact —
+    the gate then also covers the culling path."""
 
     def __init__(self, video, gt, **kw):
         super().__init__(video, oracle_apply, {}, **kw)
         self._gt = gt
+        self.slot2gt = list(range(int(gt[0].shape[0])))
+
+    def _reseed(self):
+        pg, dg, K = self._gt
+        sel = jnp.asarray(self.slot2gt, jnp.int32)
+        pg = pg[sel]
+        dg = dg[sel]
+        intr_full = jnp.broadcast_to(K, (pg.shape[0], 4))
+
+        def oracle(ii, jj):
+            tgt, _ = projective_transform(
+                pg[None], dg[None], intr_full[None],
+                jnp.asarray(ii, jnp.int32), jnp.asarray(jj, jnp.int32),
+            )
+            return tgt[0]
+
+        if len(self.ii):
+            self.target = oracle(self.ii, self.jj)
+        if len(self.ii_inac):
+            self.target_inac = oracle(self.ii_inac, self.jj_inac)
 
     def add_factors(self, ii, jj, remove=False):
         super().add_factors(ii, jj, remove)
-        n = len(self.ii)
-        if n == 0:
-            return
-        pg, dg, K = self._gt
-        intr_full = jnp.broadcast_to(K, (pg.shape[0], 4))
-        tgt, _ = projective_transform(
-            pg[None], dg[None], intr_full[None],
-            jnp.asarray(self.ii, jnp.int32), jnp.asarray(self.jj, jnp.int32),
-        )
-        self.target = tgt[0]
+        self._reseed()
+
+    def rm_keyframe(self, ix):
+        super().rm_keyframe(ix)
+        del self.slot2gt[ix]
+        self._reseed()
 
 
 def cam_centers(poses):
@@ -93,15 +117,17 @@ def cam_centers(poses):
     return np.asarray(inv[:, :3])
 
 
-def drive_frontend(gt):
+def drive_frontend(gt, **cfg_kw):
     poses_gt, disps_gt, intr = gt
-    cfg = DroidConfig(
+    base = dict(
         image_size=(H8 * 8, W8 * 8), buffer=T + 8, warmup=5,
         keyframe_thresh=0.0, frontend_thresh=64.0, frontend_window=T,
         frontend_radius=2, frontend_nms=1, max_factors=96,
         init_iters=6, iters1=3, iters2=2,
         edge_bucket=8, window_bucket=4,
     )
+    base.update(cfg_kw)
+    cfg = DroidConfig(**base)
     v = Video(cfg)
     front = Frontend({"update": oracle_apply}, {}, v, cfg)
     front.graph = OracleGraph(
@@ -147,5 +173,26 @@ def test_backend_oracle_ate_gate():
 
     est = cam_centers(v.poses[:T])
     ref = cam_centers(gt[0])
+    err, _ = ate_rmse(est, ref, align=True, correct_scale=True)
+    assert err < 0.01, err
+
+
+def test_frontend_oracle_culling_gate():
+    """Keyframe culling + rm_keyframe reindexing under the oracle: a GT
+    pause produces a near-zero flow distance, the engine must cull exactly
+    that keyframe (buffer shift + edge/store reindex), and the surviving
+    trajectory must still match GT (covers factor_graph.rm_keyframe,
+    reference :165-194, and the frontend cull branch, reference :56-64)."""
+    pause = 7
+    gt = gt_scene(pause_at=pause)
+    v, front = drive_frontend(gt, keyframe_thresh=0.4)
+
+    g = front.graph
+    assert v.counter == T - 1, v.counter          # exactly one cull
+    missing = sorted(set(range(T)) - set(g.slot2gt))
+    assert missing == [pause], missing            # ... of the paused frame
+
+    est = cam_centers(v.poses[: v.counter])
+    ref = cam_centers(gt[0][jnp.asarray(g.slot2gt)])
     err, _ = ate_rmse(est, ref, align=True, correct_scale=True)
     assert err < 0.01, err
