@@ -180,6 +180,37 @@ def main():
         err = float(np.abs(np.asarray(p2) - np.asarray(p)).max())
         results["shards"][str(n)]["max_pose_err_vs_single"] = round(err, 8)
 
+        # exchange-strategy A/B at the largest shard count: on this CPU
+        # mesh gather_root should win (one serial assembly instead of S
+        # replicated dense scatters); on TPU the measured scatter
+        # serialization inverts the choice (see parallel/dist_ba.py)
+        if n == shard_counts[-1]:
+            def solve_dense():
+                return dist_ba_solve(
+                    mesh, poses, disps, intr, dsens,
+                    jnp.asarray(tgt_s), jnp.asarray(wgt_s), eta,
+                    jnp.asarray(ii_s), jnp.asarray(jj_s), free,
+                    jnp.asarray(be_s), jnp.asarray(bm_s),
+                    jnp.asarray(k0_s), jnp.asarray(rlen_s),
+                    iterations=iters, lm=1e-5, ep=1e-2,
+                    exchange="dense_psum",
+                )
+            p3, _ = solve_dense()
+            jax.block_until_ready(p3)
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                p3, _ = solve_dense()
+            jax.block_until_ready(p3)
+            dt3 = (time.perf_counter() - t0) / reps
+            results["exchange_ab"] = {
+                "shards": n,
+                "gather_root_s": round(dt, 4),
+                "dense_psum_s": round(dt3, 4),
+                "note": "CPU mesh: gather_root expected faster; TPU "
+                        "meshes auto-select dense_psum (measured v5e "
+                        "scatter serialization, PROFILE.md)",
+            }
+
     out = os.path.join(os.path.dirname(__file__), "..", "DIST_SCALING.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
