@@ -171,5 +171,10 @@ results["dist_poses"] = p2h.astype(np.float64)
 results["dist_ba_err_p"] = np.float64(err_p)
 
 np.savez(os.path.join(out_dir, f"result_{pid}.npz"), **results)
+# rendezvous BEFORE shutdown: if one worker exits while the other is still
+# mid-epilogue, the coordination service (hosted by process 0) tears down
+# and the laggard's shutdown barrier aborts the process (observed flake
+# under heavy host load)
+multihost_utils.sync_global_devices("mp_worker_done")
 jax.distributed.shutdown()
 print(f"worker {pid} ok loss={loss:.6f} err_p={err_p:.2e}")
