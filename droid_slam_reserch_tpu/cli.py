@@ -460,13 +460,18 @@ def cmd_train(args):
     from .train.step import make_train_step_dynamic, sample_frame_graph
 
     init_distributed()
+    crop = tuple(args.image_size)
     cfg = TrainConfig(
         name=args.name, lr=args.lr, steps=args.steps, batch=args.batch,
-        n_frames=args.n_frames, iters=args.iters,
+        n_frames=args.n_frames, iters=args.iters, image_size=crop,
     )
     os.makedirs("checkpoints", exist_ok=True)
+    # scene-index cache lives under the dataset root so different datasets
+    # (and test fixtures) never share a stale pickle
     db = dataset_factory(["tartan"], datapath=args.datapath,
-                         n_frames=cfg.n_frames, fmin=cfg.fmin, fmax=cfg.fmax)
+                         n_frames=cfg.n_frames, fmin=cfg.fmin, fmax=cfg.fmax,
+                         crop_size=crop,
+                         cache_dir=os.path.join(args.datapath, ".droid_cache"))
     grad_step, apply_step = make_train_step_dynamic(cfg)
 
     # --- data parallelism over every device of every process (the DDP
@@ -605,16 +610,17 @@ def cmd_train(args):
 
             # random-restart loop (reference train.py:102-118): accumulate
             # grads across passes, re-seed pose/disp init from the last
-            # estimate, step the optimizer once
+            # estimate, step the optimizer once.  Do-while: at least one
+            # pass always runs (restart_prob=0 must still train)
             grads_acc = None
             metrics = None
-            r = 0.0
-            while r < restart_prob:
-                r = rng.random()
+            while True:
                 grads, metrics, (Gs_last, disp_last) = grad_step(params, batch)
                 grads_acc = grads if grads_acc is None else jax.tree_util.tree_map(
                     jnp.add, grads_acc, grads)
                 batch = dict(batch, Gs0=Gs_last, disp0=disp_last)
+                if rng.random() >= restart_prob:
+                    break
             params, opt_state = apply_step(params, opt_state, grads_acc)
 
             logger.push({k: float(v) for k, v in metrics.items()})
@@ -722,6 +728,8 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--n_frames", type=int, default=7)
     p.add_argument("--iters", type=int, default=15)
+    p.add_argument("--image_size", type=int, nargs=2, default=[384, 512],
+                   help="training crop H W (reference augmentation crop)")
     p.add_argument("--restart_prob", type=float, default=0.2,
                    help="random pose-restart probability (reference train.py:102)")
     p.set_defaults(fn=cmd_train)
