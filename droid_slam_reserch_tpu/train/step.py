@@ -15,17 +15,48 @@ from ..lie import se3_identity, se3_inv
 from ..models import DroidNet
 
 
+def onecycle_schedule(total_steps, peak_value, pct_start,
+                      div_factor=25.0, final_div_factor=1e4):
+    """Torch-exact OneCycleLR with anneal_strategy='cos' (the reference's
+    scheduler: train.py:70, OneCycleLR(lr, steps, pct_start=0.01,
+    cycle_momentum=False) — torch's default anneal is cosine).
+
+    Differs from optax.cosine_onecycle_schedule only in the phase
+    boundaries: torch ends the warmup at step pct_start*total_steps - 1 and
+    the anneal at total_steps - 1 (0-indexed, inclusive), while optax uses
+    pct_start*total_steps and total_steps.  Verified bit-close against
+    torch.optim.lr_scheduler.OneCycleLR in tests/test_train_dynamic.py."""
+    initial = peak_value / div_factor
+    min_lr = initial / final_div_factor
+    warm_end = pct_start * total_steps - 1.0
+    anneal_end = total_steps - 1.0
+
+    def _cos(a, b, pct):
+        return b + (a - b) / 2.0 * (1.0 + jnp.cos(jnp.pi * pct))
+
+    def schedule(count):
+        count = jnp.asarray(count, jnp.float32)
+        wp = jnp.clip(count / jnp.maximum(warm_end, 1e-6), 0.0, 1.0)
+        ap = jnp.clip((count - warm_end)
+                      / jnp.maximum(anneal_end - warm_end, 1e-6), 0.0, 1.0)
+        return jnp.where(count <= warm_end,
+                         _cos(initial, peak_value, wp),
+                         _cos(peak_value, min_lr, ap))
+
+    return schedule
+
+
 def make_schedule(cfg):
     """OneCycle analog (reference train.py:69-70).
 
-    transition_steps is floored so the warmup interval spans >= 1 step —
-    optax's onecycle divides by the interval length and returns NaN when
-    steps * pct_start < 1 (tiny smoke-test runs)."""
+    total_steps is floored so the warmup phase spans >= 1 step (torch's
+    OneCycleLR degenerates the same way when steps * pct_start < 1 — tiny
+    smoke-test runs)."""
     import math
 
     steps = max(cfg.steps, int(math.ceil(1.0 / max(cfg.pct_start, 1e-6))) + 1)
-    return optax.cosine_onecycle_schedule(
-        transition_steps=steps, peak_value=cfg.lr, pct_start=cfg.pct_start
+    return onecycle_schedule(
+        total_steps=steps, peak_value=cfg.lr, pct_start=cfg.pct_start
     )
 
 

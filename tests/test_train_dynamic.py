@@ -126,3 +126,34 @@ def test_checkpoint_params_only_back_compat(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(p),
                     jax.tree_util.tree_leaves(params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_onecycle_schedule_matches_torch():
+    """The lr schedule must be torch-exact: the reference trains with
+    OneCycleLR(lr, steps, pct_start=0.01, cycle_momentum=False) (reference
+    train.py:70; torch default anneal_strategy='cos', div_factor=25,
+    final_div_factor=1e4).  Compare every step's lr against torch."""
+    import torch
+
+    from droid_slam_reserch_tpu.train.step import onecycle_schedule
+
+    steps, lr, pct = 1000, 2.5e-4, 0.01
+    opt = torch.optim.Adam([torch.nn.Parameter(torch.zeros(1))], lr=lr)
+    sch = torch.optim.lr_scheduler.OneCycleLR(
+        opt, lr, steps, pct_start=pct, cycle_momentum=False
+    )
+    tvals = []
+    for _ in range(steps):
+        tvals.append(opt.param_groups[0]["lr"])
+        opt.step()
+        sch.step()
+    tvals = np.asarray(tvals)
+
+    mine = onecycle_schedule(steps, lr, pct)
+    ovals = np.asarray([float(mine(i)) for i in range(steps)])
+
+    # fp32 cos rounding dominates only on the sub-1e-7 tail of the decay
+    mask = tvals > 1e-7
+    rel = np.abs(tvals[mask] - ovals[mask]) / tvals[mask]
+    assert rel.max() < 1e-4, rel.max()
+    assert np.abs(tvals - ovals).max() < 1e-9
