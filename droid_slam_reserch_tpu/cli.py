@@ -28,11 +28,14 @@ def _add_slam_flags(p):
     p.add_argument("--vis_path", default=None,
                    help="stream a live, incrementally-updated PLY here")
     p.add_argument("--bf16", action="store_true", help="bfloat16 network compute")
+    p.add_argument("--image_size", type=int, nargs=2, default=None,
+                   help="engine H W (streams resize to match)")
     for name, typ in [
         ("filter_thresh", float), ("warmup", int), ("keyframe_thresh", float),
         ("frontend_thresh", float), ("frontend_window", int),
         ("frontend_radius", int), ("frontend_nms", int), ("beta", float),
         ("backend_thresh", float), ("backend_radius", int), ("backend_nms", int),
+        ("quality_mean_thresh", float), ("quality_min_thresh", float),
     ]:
         p.add_argument(f"--{name}", type=typ, default=None)
 
@@ -42,10 +45,13 @@ def _config_from_args(base, args):
     for f in ("weights", "buffer", "vis_path", "filter_thresh", "warmup", "keyframe_thresh",
               "frontend_thresh", "frontend_window", "frontend_radius",
               "frontend_nms", "beta", "backend_thresh", "backend_radius",
-              "backend_nms", "upsample"):
+              "backend_nms", "upsample", "quality_mean_thresh",
+              "quality_min_thresh"):
         v = getattr(args, f, None)
         if v is not None and v is not False:
             over[f] = v
+    if getattr(args, "image_size", None) is not None:
+        over["image_size"] = tuple(args.image_size)
     if getattr(args, "bf16", False):
         over["compute_dtype"] = "bfloat16"
     return base.replace(**over)
@@ -168,13 +174,16 @@ def cmd_tum(args):
         TUM_CONFIG.replace(
             filter_thresh=1.75, warmup=12, keyframe_thresh=2.25,
             frontend_thresh=12.0, beta=0.6, backend_thresh=15.0,
-            image_size=(224, 320),
+            image_size=(240, 320),  # the stream's post-crop size
         ),
         args,
     )
     droid = Droid(cfg)
-    _track_stream(droid, tum_stream(args.datapath, stride=2))
-    traj = droid.terminate_eva(iter(list(tum_stream(args.datapath, stride=2))))
+    _track_stream(droid, tum_stream(args.datapath, stride=2,
+                                    image_size=cfg.image_size))
+    traj = droid.terminate_eva(
+        iter(list(tum_stream(args.datapath, stride=2,
+                             image_size=cfg.image_size))))
     print(f"tracked {len(traj)} frames")
     if args.gt:
         from .data.tum import tum_timestamps
@@ -197,16 +206,22 @@ def cmd_eth3d(args):
     from .utils import ETH3D_CONFIG
 
     cfg = _config_from_args(ETH3D_CONFIG, args)
-    probe = next(iter(eth3d_stream(args.datapath, use_depth=args.depth)))
+    # resize_to_area keeps aspect, so probe the stream for the actual size
+    ta = cfg.image_size[0] * cfg.image_size[1]
+    probe = next(iter(eth3d_stream(args.datapath, use_depth=args.depth,
+                                   target_area=ta)))
     h, w = probe[1].shape[:2]
     cfg = cfg.replace(image_size=(h, w))
     droid = Droid(cfg)
     _track_stream(
-        droid, eth3d_stream(args.datapath, use_depth=args.depth, stride=args.stride),
+        droid, eth3d_stream(args.datapath, use_depth=args.depth,
+                            stride=args.stride, target_area=ta),
         use_depth=args.depth,
     )
     traj = droid.terminate_eva(
-        iter([(x[0], x[1], x[-1]) for x in eth3d_stream(args.datapath, stride=args.stride)])
+        iter([(x[0], x[1], x[-1])
+              for x in eth3d_stream(args.datapath, stride=args.stride,
+                                    target_area=ta)])
     )
     print(f"tracked {len(traj)} frames")
 
@@ -236,10 +251,12 @@ def _tartanair_one(cfg, scenedir, gt_file, stereo, stride):
     from .eval.metrics import evaluate_tartanair
 
     droid = Droid(cfg)
-    _track_stream(droid, tartan_stream(scenedir, stereo=stereo, stride=stride))
+    _track_stream(droid, tartan_stream(scenedir, stereo=stereo, stride=stride,
+                                       image_size=cfg.image_size))
     traj = droid.terminate_eva(
         iter([(x[0], x[1][0] if stereo else x[1], x[2])
-              for x in tartan_stream(scenedir, stereo=stereo, stride=stride)])
+              for x in tartan_stream(scenedir, stereo=stereo, stride=stride,
+                                     image_size=cfg.image_size)])
     )
     res = None
     if gt_file and os.path.exists(gt_file):
@@ -333,7 +350,7 @@ def cmd_multisession(args):
     from .utils import EUROC_CONFIG
     from .engine.droid import init_params
 
-    cfg = EUROC_CONFIG.replace(stereo=True, weights=args.weights)
+    cfg = _config_from_args(EUROC_CONFIG.replace(stereo=args.stereo), args)
     params = init_params(cfg)
     states = []
     for p in sorted(_glob.glob(os.path.join(args.sessions, "*", "reconstruction.npz"))):
@@ -363,13 +380,15 @@ def cmd_multisession_align(args):
     from .multisession.pipeline import improve_adjust
     from .utils import EUROC_CONFIG
 
-    cfg = EUROC_CONFIG.replace(stereo=args.stereo, weights=args.weights)
+    cfg = _config_from_args(EUROC_CONFIG.replace(stereo=args.stereo), args)
     params = init_params(cfg)
     first = dict(np.load(args.first, allow_pickle=True))
     spec = json.load(open(args.spec))
+    ta = cfg.image_size[0] * cfg.image_size[1]
 
     def factory(g):
-        return lambda: generic_image_stream(g["imagedir"], g["calib"], 1)
+        return lambda: generic_image_stream(g["imagedir"], g["calib"], 1,
+                                            target_area=ta)
 
     os.makedirs(args.out, exist_ok=True)
     if args.improve:
@@ -420,13 +439,15 @@ def cmd_multisession_evaluate(args):
     from .multisession.pipeline import evaluate_fused_map
     from .utils import EUROC_CONFIG
 
-    cfg = EUROC_CONFIG.replace(stereo=args.stereo, weights=args.weights)
+    cfg = _config_from_args(EUROC_CONFIG.replace(stereo=args.stereo), args)
     params = init_params(cfg)
     fused = dict(np.load(args.fused, allow_pickle=True))
     spec = json.load(open(args.spec))
     slices = [(s["start"], s["stop"]) for s in spec["sequences"]]
+    ta = cfg.image_size[0] * cfg.image_size[1]
     streams = [
-        (lambda s=s: generic_image_stream(s["imagedir"], s["calib"], 1))
+        (lambda s=s: generic_image_stream(s["imagedir"], s["calib"], 1,
+                                          target_area=ta))
         for s in spec["sequences"]
     ]
     gts = None
@@ -688,8 +709,9 @@ def main(argv=None):
     p = sub.add_parser("multisession")
     p.add_argument("--sessions", required=True, help="dir of session subdirs")
     p.add_argument("--out", required=True)
-    p.add_argument("--weights", default=None)
+    p.add_argument("--stereo", action="store_true")
     p.add_argument("--subsample", type=int, default=2)
+    _add_slam_flags(p)
     p.set_defaults(fn=cmd_multisession)
 
     p = sub.add_parser("multisession-align")
@@ -697,7 +719,6 @@ def main(argv=None):
     p.add_argument("--second", default=None, help="map B reconstruction.npz")
     p.add_argument("--spec", required=True, help="loop-group JSON spec")
     p.add_argument("--out", required=True)
-    p.add_argument("--weights", default=None)
     p.add_argument("--stereo", action="store_true")
     p.add_argument("--improve", action="store_true",
                    help="quality-gated ImproveAdjust driver")
@@ -705,14 +726,15 @@ def main(argv=None):
     p.add_argument("--no_joint", action="store_true",
                    help="skip the joint global backend over the aligned pair "
                         "(reference AdjustCoordinates.py:219-229)")
+    _add_slam_flags(p)
     p.set_defaults(fn=cmd_multisession_align)
 
     p = sub.add_parser("multisession-evaluate")
     p.add_argument("--fused", required=True, help="fused.npz")
     p.add_argument("--spec", required=True, help="sequence JSON spec")
     p.add_argument("--out", default=None)
-    p.add_argument("--weights", default=None)
     p.add_argument("--stereo", action="store_true")
+    _add_slam_flags(p)
     p.set_defaults(fn=cmd_multisession_evaluate)
 
     p = sub.add_parser("train")

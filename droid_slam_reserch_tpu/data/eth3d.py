@@ -7,7 +7,7 @@ import numpy as np
 from .streams import resize_to_area
 
 
-def eth3d_stream(datapath, use_depth=False, stride=1):
+def eth3d_stream(datapath, use_depth=False, stride=1, target_area=384 * 512):
     import cv2
 
     fx, fy, cx, cy = np.loadtxt(os.path.join(datapath, "calibration.txt")).tolist()
@@ -21,7 +21,7 @@ def eth3d_stream(datapath, use_depth=False, stride=1):
     for t, image_file in enumerate(image_list):
         image = cv2.imread(image_file)
         h0, w0 = image.shape[:2]
-        image, (sx, sy) = resize_to_area(image)
+        image, (sx, sy) = resize_to_area(image, target_area=target_area)
         intr = np.array([fx * sx, fy * sy, cx * sx, cy * sy], np.float32)
 
         if use_depth and t < len(depth_list):

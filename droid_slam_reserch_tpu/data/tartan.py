@@ -86,18 +86,22 @@ class TartanAir(RGBDDataset):
         return depth
 
 
-def tartan_stream(scene_path, stereo=False, stride=1, image_size=None):
+def tartan_stream(scene_path, stereo=False, stride=1, image_size=(384, 512)):
     """Evaluation stream over a TartanAir trajectory
-    (reference evaluation_scripts/validate_tartanair.py:18-37)."""
+    (reference evaluation_scripts/validate_tartanair.py:18-37): frames are
+    resized from the raw 480x640 to image_size and the fixed calibration is
+    scaled accordingly (the reference's 0.8 factor for 384x512)."""
     import cv2
 
     images_left = sorted(glob.glob(osp.join(scene_path, "image_left/*.png")))[::stride]
     images_right = [x.replace("_left", "_right") for x in images_left]
-    intr = TartanAir.calib_read().astype(np.float32)
+    ht1, wd1 = image_size
+    sx, sy = wd1 / 640.0, ht1 / 480.0
+    intr = (TartanAir.calib_read() * np.array([sx, sy, sx, sy])).astype(np.float32)
 
     for t, (imgL, imgR) in enumerate(zip(images_left, images_right)):
-        frames = [cv2.imread(imgL)]
+        frames = [cv2.resize(cv2.imread(imgL), (wd1, ht1))]
         if stereo:
-            frames.append(cv2.imread(imgR))
+            frames.append(cv2.resize(cv2.imread(imgR), (wd1, ht1)))
         image = np.stack(frames) if stereo else frames[0]
         yield t, image, intr

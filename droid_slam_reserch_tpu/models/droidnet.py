@@ -21,8 +21,17 @@ def normalize_images(images):
 
 
 class DroidNet(nn.Module):
-    """fnet + cnet + update operator (reference droid_net.py:146-153)."""
+    """fnet + cnet + update operator (reference droid_net.py:146-153).
+
+    remat: checkpoint each unrolled iteration (corr lookup + GRU update +
+    2x BA) so backprop stores only the per-iteration carry instead of every
+    intermediate activation — O(1) instead of O(num_steps) activation
+    memory, at the cost of one extra forward per iteration.  This is how
+    the reference's 15-step training unroll (train.py:155-159, sized for
+    24 GB GPUs) fits v5e-class HBM.
+    """
     dtype: jnp.dtype = None
+    remat: bool = False
 
     def setup(self):
         self.fnet = BasicEncoder(output_dim=128, norm_fn="instance", dtype=self.dtype)
@@ -74,8 +83,13 @@ class DroidNet(nn.Module):
         coords1, _ = projective_transform(Gs, disps, intrinsics, ii, jj)
         target = coords1
 
-        Gs_list, disp_list, residual_list = [], [], []
-        for _ in range(num_steps):
+        def _iteration(mdl, pyramid, net, inp, Gs, disps, coords1, target,
+                       intrinsics, w_mask_arr, kk_agg_arr):
+            """One unrolled update iteration (reference droid_net.py:188-220).
+
+            Pure in its array arguments so it can be wrapped in nn.remat;
+            ii/jj/num_seg/fixedp are static closures.
+            """
             Gs = jax.lax.stop_gradient(Gs)
             disps = jax.lax.stop_gradient(disps)
             coords1 = jax.lax.stop_gradient(coords1)
@@ -89,9 +103,9 @@ class DroidNet(nn.Module):
             flow = coords1 - coords0
             motion = jnp.clip(jnp.concatenate([flow, resd], axis=-1), -64.0, 64.0)
 
-            net, delta, weight, eta, upmask = self.update(
+            net, delta, weight, eta, upmask = mdl(
                 net, inp, corr.astype(net.dtype), motion.astype(net.dtype),
-                kk=kk_agg, num_segments=num_seg,
+                kk=kk_agg_arr, num_segments=num_seg,
             )
             eta = eta[:, :P]
             upmask = upmask[:, :P]
@@ -99,21 +113,36 @@ class DroidNet(nn.Module):
             target = coords1 + delta.astype(jnp.float32)
             weight_f = weight.astype(jnp.float32)
             if w_mask is not None:
-                weight_f = weight_f * w_mask
+                weight_f = weight_f * w_mask_arr
             eta_f = eta.astype(jnp.float32)
 
             for _ in range(2):
                 Gs, disps = BA(
-                    target, weight_f, eta_f, Gs, disps, intrinsics, ii, jj, fixedp=fixedp
+                    target, weight_f, eta_f, Gs, disps, intrinsics, ii, jj,
+                    fixedp=fixedp,
                 )
 
             coords1, valid_mask = projective_transform(Gs, disps, intrinsics, ii, jj)
             residual = target - coords1
-
             if w_mask is not None:
-                residual = residual * w_mask
+                residual = residual * w_mask_arr
+            disp_up = upsample_disp(disps, upmask.astype(jnp.float32))
+            return (net, Gs, disps, coords1, target,
+                    disp_up, valid_mask * residual)
+
+        iteration = nn.remat(_iteration) if self.remat else _iteration
+        w_mask_arr = (w_mask if w_mask is not None
+                      else jnp.zeros((1, 1, 1, 1, 1), jnp.float32))
+        kk_agg_arr = jnp.asarray(kk_agg)
+
+        Gs_list, disp_list, residual_list = [], [], []
+        for _ in range(num_steps):
+            (net, Gs, disps, coords1, target, disp_up, residual) = iteration(
+                self.update, pyramid, net, inp, Gs, disps, coords1, target,
+                intrinsics, w_mask_arr, kk_agg_arr,
+            )
             Gs_list.append(Gs)
-            disp_list.append(upsample_disp(disps, upmask.astype(jnp.float32)))
-            residual_list.append(valid_mask * residual)
+            disp_list.append(disp_up)
+            residual_list.append(residual)
 
         return Gs_list, disp_list, residual_list

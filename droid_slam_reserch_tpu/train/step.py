@@ -89,14 +89,21 @@ def init_train_state(cfg, key=None, image_size=(64, 64)):
     return params, opt.init(params)
 
 
-def make_train_step(cfg, ii, jj, num_steps=None):
+def make_train_step(cfg, ii, jj, num_steps=None, dtype=None, remat=False):
     """Build the jittable train step for a fixed edge graph (ii, jj).
 
     batch = dict(images [B,P,H,W,3] BGR 0-255, poses [B,P,7] world-to-camera,
     disps [B,P,H,W] GT inverse depth, intrinsics [B,P,4] full-res).
     Returns step(params, opt_state, batch) -> (params, opt_state, metrics).
+
+    dtype: network compute dtype (bf16 on TPU; params, BA solves and losses
+    stay fp32 — the same mixed-precision split the inference engine uses).
+    remat: rematerialize the per-iteration update module during backprop,
+    trading ~1 extra forward for O(iters) activation memory — the TPU-first
+    lever for fitting the reference's 15-step unroll (train.py:155-159,
+    24 GB GPUs) into v5e HBM.
     """
-    net = DroidNet()
+    net = DroidNet(dtype=dtype, remat=remat)
     opt = make_optimizer(cfg)
     num_steps = num_steps or cfg.iters
 
@@ -137,7 +144,7 @@ def make_train_step(cfg, ii, jj, num_steps=None):
     return step
 
 
-def make_train_step_dynamic(cfg, num_steps=None):
+def make_train_step_dynamic(cfg, num_steps=None, dtype=None, remat=False):
     """Training step for per-item SAMPLED frame graphs and pose-restart
     chaining (reference train.py:88-118).
 
@@ -155,8 +162,10 @@ def make_train_step_dynamic(cfg, num_steps=None):
         reference's random-restart loop (train.py:102-118), which
         ACCUMULATES gradients across passes and steps the optimizer once.
       apply_step(params, opt_state, grads) -> (params, opt_state)
+
+    dtype/remat: see make_train_step.
     """
-    net = DroidNet()
+    net = DroidNet(dtype=dtype, remat=remat)
     opt = make_optimizer(cfg)
     num_steps = num_steps or cfg.iters
 
