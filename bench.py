@@ -203,6 +203,59 @@ def main():
         except Exception as e:  # never let the extra metrics kill the bench
             extra["backend_ba_error"] = f"{type(e).__name__}: {e}"[:200]
 
+    # --- training at reference scale (reference train.py:155-159: 384x512,
+    # 7 frames, 15 unrolled iterations, 2 BA solves per iteration, sized
+    # for 24 GB GPUs): one optimizer step of the real make_train_step,
+    # bf16 net + fp32 BA + per-iteration remat.  BENCH_TRAIN=0 skips.
+    if not small and bool(int(os.environ.get("BENCH_TRAIN", "1"))):
+        try:
+            from tools.bench_train import synth_scene, temporal_graph
+            from droid_slam_reserch_tpu.train.config import TrainConfig
+            from droid_slam_reserch_tpu.train.step import (init_train_state,
+                                                           make_train_step)
+
+            H, W, F, IT = 384, 512, 7, 15
+            tcfg = TrainConfig(steps=120, iters=IT, n_frames=F,
+                               image_size=(H, W))
+            tii, tjj = temporal_graph(F, r=2)
+            trng = np.random.default_rng(0)
+            imgs, tposes, tdisps, tintr = synth_scene(trng, F, H, W)
+            tbatch = {
+                "images": jnp.asarray(imgs[None]),
+                "poses": jnp.asarray(tposes[None]),
+                "disps": jnp.asarray(tdisps[None]),
+                "intrinsics": jnp.asarray(tintr[None]),
+            }
+            tdt = jnp.bfloat16 if on_tpu else None
+            tparams, topt = init_train_state(tcfg, image_size=(64, 64))
+            tstep = jax.jit(
+                make_train_step(tcfg, tii, tjj, num_steps=IT, dtype=tdt,
+                                remat=True),
+                donate_argnums=(0, 1),
+            )
+            t0 = time.perf_counter()
+            tparams, topt, tm = tstep(tparams, topt, tbatch)
+            float(tm["loss"])
+            extra["train_compile_s"] = round(time.perf_counter() - t0, 1)
+            t0 = time.perf_counter()
+            n_tsteps = 3
+            for _ in range(n_tsteps):
+                tparams, topt, tm = tstep(tparams, topt, tbatch)
+                last_loss = float(tm["loss"])
+            extra["train_step_s"] = round(
+                (time.perf_counter() - t0) / n_tsteps, 3)
+            extra["train_loss_finite"] = bool(np.isfinite(last_loss))
+            try:
+                stats = jax.local_devices()[0].memory_stats() or {}
+                peak = stats.get("peak_bytes_in_use")
+                if peak:
+                    extra["train_peak_hbm_gib"] = round(peak / 2**30, 3)
+            except Exception:
+                pass
+            del tparams, topt, tbatch
+        except Exception as e:
+            extra["train_bench_error"] = f"{type(e).__name__}: {e}"[:200]
+
     print(json.dumps({
         "metric": "frontend_update_iters_per_s",
         "value": round(value, 3),

@@ -18,15 +18,16 @@ def _chol_solve(H, b):
 
 @jax.custom_vjp
 def cholesky_solve_safe(H, b):
-    """Solve H x = b; returns zeros if the factorization fails (non-PD)."""
+    """Solve H x = b; returns zeros if the factorization fails (non-PD or
+    overflowed system — NaN *or* inf)."""
     _, xs = _chol_solve(H, b)
-    bad = jnp.any(jnp.isnan(xs), axis=(-2, -1), keepdims=True)
+    bad = jnp.any(~jnp.isfinite(xs), axis=(-2, -1), keepdims=True)
     return jnp.where(bad, jnp.zeros_like(xs), xs)
 
 
 def _fwd(H, b):
     U, xs = _chol_solve(H, b)
-    bad = jnp.any(jnp.isnan(xs), axis=(-2, -1), keepdims=True)
+    bad = jnp.any(~jnp.isfinite(xs), axis=(-2, -1), keepdims=True)
     xs = jnp.where(bad, jnp.zeros_like(xs), xs)
     return xs, (U, xs, bad)
 
@@ -34,7 +35,7 @@ def _fwd(H, b):
 def _bwd(res, grad_x):
     U, xs, bad = res
     dz = jax.scipy.linalg.cho_solve((U, True), grad_x)
-    dz = jnp.where(bad, jnp.zeros_like(dz), dz)
+    dz = jnp.where(bad | ~jnp.isfinite(dz), jnp.zeros_like(dz), dz)
     dH = -jnp.matmul(xs, jnp.swapaxes(dz, -1, -2))
     return dH, dz
 
@@ -82,4 +83,10 @@ def schur_solve(H, E, C, v, w, ep=0.1, lm=1e-4, sless=False):
         return dx.reshape(B, P, D)
 
     dz = Q * (w - jnp.matmul(Et, dx))
+    # failure tolerance for the depth half, mirroring the reference's CUDA
+    # solver which zeroes BOTH dx and dz when the factorization fails
+    # (droid_kernels.cu:1202-1210): a degenerate/overflowed system must
+    # skip the whole update, not freeze poses while poisoning depths
+    bad = jnp.any(~jnp.isfinite(dz), axis=(-2, -1), keepdims=True)
+    dz = jnp.where(bad, jnp.zeros_like(dz), dz)
     return dx.reshape(B, P, D), dz.reshape(B, M, HW)

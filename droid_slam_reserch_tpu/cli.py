@@ -290,7 +290,7 @@ def cmd_tartanair(args):
         gt_file = os.path.join(scenedir, "pose_left.txt")
         print(f"evaluating {scene}", flush=True)
         _, res = _tartanair_one(cfg, scenedir, gt_file, args.stereo, args.stride)
-        ate = res["ate"] if res else float("nan")
+        ate = res["ate_score"] if res else float("nan")
         ates.append(ate)
         print(json.dumps({"scene": scene, "ate": ate}))
 

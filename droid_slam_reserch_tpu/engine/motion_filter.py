@@ -9,25 +9,45 @@ from ..lie import se3_identity
 from ..ops import build_pyramid, corr_lookup_pyramid, corr_volume
 
 
-@partial(jax.jit, static_argnames=("update_apply", "dtype"))
-def _motion_check(update_apply, params, fmap1, fmap2, net, inp, dtype=jnp.float32):
-    """One update-op step against the last keyframe; returns mean |delta|.
+@partial(jax.jit,
+         static_argnames=("fnet_apply", "cnet_apply", "update_apply", "dtype"))
+def _fused_track(fnet_apply, cnet_apply, update_apply, params, imgs,
+                 fmap_prev, net_prev, inp_prev, thresh, dtype=jnp.float32):
+    """The whole steady-state filter as ONE device program: fnet features,
+    the 1-step update-op motion check against the last keyframe (reference
+    motion_filter.py:81-91 — corr of the static grid, 1 GRU step, no BA),
+    and the context features for admission.
 
-    Mirrors reference motion_filter.py:81-91 (corr of the static grid,
-    1 GRU step, no BA).
+    The reference runs fnet / the check / cnet as three separate kernels
+    per frame; here they fuse so the admission decision costs a single
+    dispatch + a single host sync on ``delta_norm``, and the cnet branch
+    only executes (lax.cond) when the frame will actually be admitted.
+    Returns (gmap, net0, inp0, delta_norm).
     """
-    h8, w8 = fmap1.shape[0:2]
+    gmap = fnet_apply(params, imgs)
+
+    h8, w8 = gmap.shape[1:3]
     ys, xs = jnp.meshgrid(jnp.arange(h8, dtype=jnp.float32),
                           jnp.arange(w8, dtype=jnp.float32), indexing="ij")
     coords0 = jnp.stack([xs, ys], axis=-1)[None]
 
-    pyr = build_pyramid(corr_volume(fmap1[None], fmap2[None]), num_levels=4)
+    pyr = build_pyramid(corr_volume(fmap_prev[None], gmap[:1]), num_levels=4)
     corr = corr_lookup_pyramid(pyr, coords0)
-
     _, delta, _ = update_apply(
-        params, net[None, None], inp[None, None], corr[None].astype(dtype), None
+        params, net_prev[None, None], inp_prev[None, None],
+        corr[None].astype(dtype), None,
     )
-    return jnp.mean(jnp.linalg.norm(delta[0, 0], axis=-1))
+    delta_norm = jnp.mean(jnp.linalg.norm(delta[0, 0], axis=-1))
+
+    def admit(_):
+        net, inp = cnet_apply(params, imgs[:1])
+        return net[0], inp[0]
+
+    def skip(_):
+        return net_prev, inp_prev  # discarded by the host on skip
+
+    net0, inp0 = jax.lax.cond(delta_norm > thresh, admit, skip, None)
+    return gmap, net0, inp0, delta_norm
 
 
 class MotionFilter:
@@ -60,9 +80,8 @@ class MotionFilter:
             image = image[None]
         imgs = jnp.asarray(np.asarray(image, np.float32))
 
-        gmap = self.applies["fnet"](self.params, imgs)  # [c, h8, w8, 128]
-
         if video.counter == 0:
+            gmap = self.applies["fnet"](self.params, imgs)
             net, inp = self.applies["cnet"](self.params, imgs[:1])
             self.net, self.inp, self.fmap = net[0], inp[0], gmap
             video.append(
@@ -70,20 +89,21 @@ class MotionFilter:
                 jnp.asarray(intrinsics) / 8.0, gmap, net[0], inp[0],
             )
         else:
-            delta_norm = _motion_check(
-                self.applies["update"], self.params,
-                self.fmap[0], gmap[0], self.net, self.inp, dtype=self.dtype,
+            gmap, net0, inp0, delta_norm = _fused_track(
+                self.applies["fnet"], self.applies["cnet"],
+                self.applies["update"], self.params, imgs,
+                self.fmap[0], self.net, self.inp,
+                jnp.float32(self.thresh), dtype=self.dtype,
             )
             from ..utils.timing import count_sync
 
             count_sync()  # admission decision: the per-frame blocking sync
             if float(delta_norm) > self.thresh:
                 self.count = 0
-                net, inp = self.applies["cnet"](self.params, imgs[:1])
-                self.net, self.inp, self.fmap = net[0], inp[0], gmap
+                self.net, self.inp, self.fmap = net0, inp0, gmap
                 video.append(
                     tstamp, image[0], None, None, depth,
-                    jnp.asarray(intrinsics) / 8.0, gmap, net[0], inp[0],
+                    jnp.asarray(intrinsics) / 8.0, gmap, net0, inp0,
                 )
             else:
                 self.count += 1

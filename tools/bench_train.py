@@ -81,6 +81,8 @@ def main():
     ap.add_argument("--no-remat", action="store_true")
     ap.add_argument("--fp32", action="store_true",
                     help="net compute in fp32 (default bf16 on TPU)")
+    ap.add_argument("--debug", action="store_true",
+                    help="print the full metrics dict every step")
     args = ap.parse_args()
 
     import jax
@@ -89,6 +91,15 @@ def main():
     os.makedirs(cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    # the container's sitecustomize force-selects the axon TPU; honor an
+    # explicit JAX_PLATFORMS request (CPU smoke runs)
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        try:
+            jax.config.update("jax_platforms", want)
+        except Exception:
+            pass
 
     import jax.numpy as jnp
 
@@ -127,11 +138,16 @@ def main():
     first_loss = float(metrics["loss"])
     compile_s = time.perf_counter() - t0
 
+    if args.debug:
+        print("step 0:", {k: round(float(v), 5) for k, v in metrics.items()})
     losses = [first_loss]
     t0 = time.perf_counter()
-    for _ in range(args.steps):
+    for i in range(args.steps):
         params, opt_state, metrics = step(params, opt_state, batch)
         losses.append(float(metrics["loss"]))  # device sync each step
+        if args.debug:
+            print(f"step {i + 1}:",
+                  {k: round(float(v), 5) for k, v in metrics.items()})
     dt = time.perf_counter() - t0
     step_s = dt / args.steps
 
