@@ -215,7 +215,7 @@ def main():
                                                            make_train_step)
 
             H, W, F, IT = 384, 512, 7, 15
-            tcfg = TrainConfig(steps=120, iters=IT, n_frames=F,
+            tcfg = TrainConfig(steps=250000, iters=IT, n_frames=F,
                                image_size=(H, W))
             tii, tjj = temporal_graph(F, r=2)
             trng = np.random.default_rng(0)
@@ -230,7 +230,7 @@ def main():
             tparams, topt = init_train_state(tcfg, image_size=(64, 64))
             tstep = jax.jit(
                 make_train_step(tcfg, tii, tjj, num_steps=IT, dtype=tdt,
-                                remat=True),
+                                remat=True, scan=True),
                 donate_argnums=(0, 1),
             )
             t0 = time.perf_counter()

@@ -7,6 +7,17 @@
 import jax.numpy as jnp
 import numpy as np
 
+
+def _safe_norm(x, axis=-1):
+    """L2 norm with a finite gradient at exactly zero.
+
+    jnp.linalg.norm's gradient at 0 is 0/0 = NaN; one such pixel in a
+    masked-out region poisons the whole parameter tree through
+    clip_by_global_norm (observed training at reference scale on the chip:
+    a single NaN cotangent NaN'd every leaf at the next optimizer step).
+    """
+    return jnp.sqrt(jnp.sum(x * x, axis=axis) + 1e-12)
+
 from ..lie import (
     se3_mul,
     se3_inv,
@@ -79,16 +90,16 @@ def geodesic_loss(Ps, Gs_list, ii, jj, gamma=0.9, do_scale=True, group="se3",
             d = se3_log(se3_mul(dG, se3_inv(dP)))
             tau, phi = d[..., :3], d[..., 3:6]
             loss = loss + w * (
-                _masked_mean(jnp.linalg.norm(tau, axis=-1), edge_mask)
-                + _masked_mean(jnp.linalg.norm(phi, axis=-1), edge_mask)
+                _masked_mean(_safe_norm(tau), edge_mask)
+                + _masked_mean(_safe_norm(phi), edge_mask)
             )
         else:
             d = sim3_log(sim3_mul(dG, sim3_inv(dP)))
             tau, phi, sig = d[..., :3], d[..., 3:6], d[..., 6:7]
             loss = loss + w * (
-                _masked_mean(jnp.linalg.norm(tau, axis=-1), edge_mask)
-                + _masked_mean(jnp.linalg.norm(phi, axis=-1), edge_mask)
-                + 0.05 * _masked_mean(jnp.linalg.norm(sig, axis=-1), edge_mask)
+                _masked_mean(_safe_norm(tau), edge_mask)
+                + _masked_mean(_safe_norm(phi), edge_mask)
+                + 0.05 * _masked_mean(_safe_norm(sig), edge_mask)
             )
         r_err, t_err, s_err = pose_metrics(dG, dP)
 
@@ -137,7 +148,7 @@ def flow_loss(Ps, disps, poses_est, disps_est, intrinsics, gamma=0.9):
         w = gamma ** (n - i - 1)
         coords1, val1 = projective_transform(poses_est[i], disps_est[i], intrinsics, ii, jj)
         v = (val0 * val1)[..., 0]
-        epe = v * jnp.linalg.norm(coords1 - coords0, axis=-1)
+        epe = v * _safe_norm(coords1 - coords0)
         loss = loss + w * jnp.mean(epe)
 
     mask = v.reshape(-1) > 0.5

@@ -29,9 +29,16 @@ class DroidNet(nn.Module):
     memory, at the cost of one extra forward per iteration.  This is how
     the reference's 15-step training unroll (train.py:155-159, sized for
     24 GB GPUs) fits v5e-class HBM.
+
+    scan: roll the iterations into one lax.scan so XLA compiles the body
+    ONCE instead of num_steps times (the unrolled 15-iteration module takes
+    ~8 min to compile on the chip; scanned, under a minute).  Numerics are
+    identical; combine with remat for the standard TPU remat-scan training
+    pattern.
     """
     dtype: jnp.dtype = None
     remat: bool = False
+    scan: bool = False
 
     def setup(self):
         self.fnet = BasicEncoder(output_dim=128, norm_fn="instance", dtype=self.dtype)
@@ -134,6 +141,22 @@ class DroidNet(nn.Module):
         w_mask_arr = (w_mask if w_mask is not None
                       else jnp.zeros((1, 1, 1, 1, 1), jnp.float32))
         kk_agg_arr = jnp.asarray(kk_agg)
+
+        if self.scan:
+            def body(mdl, carry, _):
+                net, Gs, disps, coords1, target = carry
+                (net, Gs, disps, coords1, target, disp_up, residual) = \
+                    iteration(mdl, pyramid, net, inp, Gs, disps, coords1,
+                              target, intrinsics, w_mask_arr, kk_agg_arr)
+                return (net, Gs, disps, coords1, target), (Gs, disp_up, residual)
+
+            scan_fn = nn.scan(
+                body, variable_broadcast="params",
+                split_rngs={"params": False}, length=num_steps,
+            )
+            _, (Gs_s, disp_s, res_s) = scan_fn(
+                self.update, (net, Gs, disps, coords1, target), None)
+            return (list(Gs_s), list(disp_s), list(res_s))
 
         Gs_list, disp_list, residual_list = [], [], []
         for _ in range(num_steps):

@@ -60,8 +60,30 @@ def make_schedule(cfg):
     )
 
 
+def sanitize_grads():
+    """Zero non-finite gradient entries before clipping.
+
+    clip_by_global_norm couples every leaf through one norm, so a single
+    inf/NaN gradient entry (one degenerate pixel in one edge of one batch)
+    NaNs the entire parameter tree on the next update.  The reference's
+    failure-tolerance stance is the same — its CUDA solver zeroes failed
+    factorizations (droid_kernels.cu:1202-1210) rather than dying; a
+    skipped contribution beats a dead 250k-step run."""
+    def update_fn(updates, state, params=None):
+        del params
+        new = jax.tree_util.tree_map(
+            lambda g: jnp.where(jnp.isfinite(g), g, jnp.zeros_like(g)),
+            updates,
+        )
+        return new, state
+
+    return optax.GradientTransformation(lambda params: optax.EmptyState(),
+                                        update_fn)
+
+
 def make_optimizer(cfg):
     return optax.chain(
+        sanitize_grads(),
         optax.clip_by_global_norm(cfg.clip),
         optax.adamw(make_schedule(cfg), weight_decay=cfg.weight_decay),
     )
@@ -89,7 +111,8 @@ def init_train_state(cfg, key=None, image_size=(64, 64)):
     return params, opt.init(params)
 
 
-def make_train_step(cfg, ii, jj, num_steps=None, dtype=None, remat=False):
+def make_train_step(cfg, ii, jj, num_steps=None, dtype=None, remat=False,
+                    debug=False, scan=False):
     """Build the jittable train step for a fixed edge graph (ii, jj).
 
     batch = dict(images [B,P,H,W,3] BGR 0-255, poses [B,P,7] world-to-camera,
@@ -103,7 +126,7 @@ def make_train_step(cfg, ii, jj, num_steps=None, dtype=None, remat=False):
     lever for fitting the reference's 15-step unroll (train.py:155-159,
     24 GB GPUs) into v5e HBM.
     """
-    net = DroidNet(dtype=dtype, remat=remat)
+    net = DroidNet(dtype=dtype, remat=remat, scan=scan)
     opt = make_optimizer(cfg)
     num_steps = num_steps or cfg.iters
 
@@ -133,6 +156,19 @@ def make_train_step(cfg, ii, jj, num_steps=None, dtype=None, remat=False):
         metrics.update(geo_m)
         metrics.update(res_m)
         metrics.update(flo_m)
+        if debug:
+            def first_bad(xs):
+                """Index of the first iteration with a non-finite value
+                (len(xs) when all finite)."""
+                flags = jnp.stack(
+                    [jnp.any(~jnp.isfinite(x)) for x in xs]
+                    + [jnp.array(True)]
+                )
+                return jnp.argmax(flags)
+
+            metrics["nan_iter_pose"] = first_bad(poses_est)
+            metrics["nan_iter_disp"] = first_bad(disps_est)
+            metrics["nan_iter_res"] = first_bad(residuals)
         return loss, metrics
 
     def step(params, opt_state, batch):
@@ -144,7 +180,8 @@ def make_train_step(cfg, ii, jj, num_steps=None, dtype=None, remat=False):
     return step
 
 
-def make_train_step_dynamic(cfg, num_steps=None, dtype=None, remat=False):
+def make_train_step_dynamic(cfg, num_steps=None, dtype=None, remat=False,
+                            scan=False):
     """Training step for per-item SAMPLED frame graphs and pose-restart
     chaining (reference train.py:88-118).
 
@@ -163,9 +200,9 @@ def make_train_step_dynamic(cfg, num_steps=None, dtype=None, remat=False):
         ACCUMULATES gradients across passes and steps the optimizer once.
       apply_step(params, opt_state, grads) -> (params, opt_state)
 
-    dtype/remat: see make_train_step.
+    dtype/remat/scan: see make_train_step.
     """
-    net = DroidNet(dtype=dtype, remat=remat)
+    net = DroidNet(dtype=dtype, remat=remat, scan=scan)
     opt = make_optimizer(cfg)
     num_steps = num_steps or cfg.iters
 

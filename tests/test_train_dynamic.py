@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from droid_slam_reserch_tpu import lie
 from droid_slam_reserch_tpu.train import TrainConfig, init_train_state
@@ -157,3 +158,40 @@ def test_onecycle_schedule_matches_torch():
     rel = np.abs(tvals[mask] - ovals[mask]) / tvals[mask]
     assert rel.max() < 1e-4, rel.max()
     assert np.abs(tvals - ovals).max() < 1e-9
+
+
+@pytest.mark.slow
+def test_train_loss_decreases_scan_remat():
+    """The production step configuration (lax.scan over iterations +
+    per-iteration remat, the setup that trains at reference scale on the
+    chip — tools/bench_train.py): overfitting one synthetic scene, the
+    loss must fall and never go non-finite.  Guards the safe-norm losses
+    and the sanitize-grads optimizer path (a single NaN cotangent used to
+    NaN every parameter through clip_by_global_norm)."""
+    import jax.numpy as jnp
+
+    from droid_slam_reserch_tpu.train.config import TrainConfig
+    from droid_slam_reserch_tpu.train.step import (init_train_state,
+                                                   make_train_step)
+    from tools.bench_train import synth_scene, temporal_graph
+
+    H, W, F, IT = 64, 64, 4, 3
+    cfg = TrainConfig(steps=250000, iters=IT, n_frames=F, image_size=(H, W))
+    ii, jj = temporal_graph(F, r=2)
+    rng = np.random.default_rng(0)
+    images, poses, disps, intr = synth_scene(rng, F, H, W)
+    batch = {
+        "images": jnp.asarray(images[None]),
+        "poses": jnp.asarray(poses[None]),
+        "disps": jnp.asarray(disps[None]),
+        "intrinsics": jnp.asarray(intr[None]),
+    }
+    params, opt_state = init_train_state(cfg, image_size=(64, 64))
+    step = jax.jit(make_train_step(cfg, ii, jj, num_steps=IT, remat=True,
+                                   scan=True))
+    losses = []
+    for _ in range(8):
+        params, opt_state, m = step(params, opt_state, batch)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all(), losses
+    assert losses[-1] < losses[0], losses

@@ -79,10 +79,17 @@ def main():
     ap.add_argument("--steps", type=int, default=3,
                     help="measured optimizer steps (>=20 => loss curve)")
     ap.add_argument("--no-remat", action="store_true")
+    ap.add_argument("--no-scan", action="store_true",
+                    help="Python-unroll the iterations instead of lax.scan "
+                         "(same numerics, ~10x the compile time)")
     ap.add_argument("--fp32", action="store_true",
                     help="net compute in fp32 (default bf16 on TPU)")
     ap.add_argument("--debug", action="store_true",
                     help="print the full metrics dict every step")
+    ap.add_argument("--schedule-steps", type=int, default=250000,
+                    help="OneCycle horizon (reference train.py:70 trains "
+                         "250k steps; short horizons reach peak lr almost "
+                         "immediately and diverge a fresh random init)")
     args = ap.parse_args()
 
     import jax
@@ -111,7 +118,7 @@ def main():
     dtype = None if (args.fp32 or not on_tpu) else jnp.bfloat16
     remat = not args.no_remat
 
-    cfg = TrainConfig(steps=max(args.steps, 120), iters=args.iters,
+    cfg = TrainConfig(steps=args.schedule_steps, iters=args.iters,
                       n_frames=args.frames, image_size=(H, W))
     ii, jj = temporal_graph(args.frames, r=2)
 
@@ -129,7 +136,7 @@ def main():
     params, opt_state = init_train_state(cfg, image_size=(64, 64))
     step = jax.jit(
         make_train_step(cfg, ii, jj, num_steps=args.iters, dtype=dtype,
-                        remat=remat),
+                        remat=remat, debug=args.debug, scan=not args.no_scan),
         donate_argnums=(0, 1),
     )
 
@@ -160,6 +167,7 @@ def main():
                   "iters": args.iters, "batch": B, "edges": int(len(ii))},
         "dtype": "bfloat16" if dtype is not None else "float32",
         "remat": remat,
+        "scan": not args.no_scan,
         "compile_s": round(compile_s, 1),
         "steps_per_s": round(1.0 / step_s, 4),
         "loss_first": round(losses[0], 4),
