@@ -101,6 +101,15 @@ class Frontend:
                 [self.t1 - 3], [self.t1 - 2], beta=self.beta,
                 bidirectional=True,
             )[0]
+        else:
+            # start the scalar's device->host copy immediately so the
+            # float() below finds it already landed (the dispatch of the
+            # rounds program overlaps the copy; measured on the async
+            # proximity prefetch: 0.2 ms vs a 29.8 ms blocking transfer)
+            try:
+                d_cull.copy_to_host_async()
+            except Exception:
+                pass
         from ..utils.timing import count_sync
 
         count_sync()  # culling decision rides the fused program's output

@@ -47,16 +47,20 @@ def shard_batch(batch, mesh):
     return {k: put(v) for k, v in batch.items()}
 
 
-def make_parallel_train_step(cfg, ii, jj, mesh, num_steps=None, donate=True):
+def make_parallel_train_step(cfg, ii, jj, mesh, num_steps=None, donate=True,
+                             dtype=None, remat=False, scan=False):
     """Returns (jitted step, prepare) where prepare shards params/opt/batch.
 
     step(params, opt_state, batch) -> (params, opt_state, metrics); inputs
     must be device_put with the shardings from prepare (committed arrays
-    drive jit's sharding propagation).
+    drive jit's sharding propagation).  dtype/remat/scan pass through to
+    make_train_step (bf16 + remat + scan is the reference-scale on-chip
+    configuration, PROFILE.md).
     """
     from ..train.step import make_train_step
 
-    step = make_train_step(cfg, ii, jj, num_steps=num_steps)
+    step = make_train_step(cfg, ii, jj, num_steps=num_steps, dtype=dtype,
+                           remat=remat, scan=scan)
     jstep = jax.jit(step, donate_argnums=(0, 1) if donate else ())
 
     def prepare(params, opt_state, batch):

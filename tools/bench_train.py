@@ -90,6 +90,10 @@ def main():
                     help="OneCycle horizon (reference train.py:70 trains "
                          "250k steps; short horizons reach peak lr almost "
                          "immediately and diverge a fresh random init)")
+    ap.add_argument("--parallel", action="store_true",
+                    help="run make_parallel_train_step over a dp mesh of "
+                         "all local devices (the DDP analog) instead of "
+                         "the single-device step")
     args = ap.parse_args()
 
     import jax
@@ -134,11 +138,26 @@ def main():
     }
 
     params, opt_state = init_train_state(cfg, image_size=(64, 64))
-    step = jax.jit(
-        make_train_step(cfg, ii, jj, num_steps=args.iters, dtype=dtype,
-                        remat=remat, debug=args.debug, scan=not args.no_scan),
-        donate_argnums=(0, 1),
-    )
+    if args.parallel:
+        # dp mesh over every local device (DDP analog) — on one chip this
+        # executes the same sharded program the multi-chip path compiles
+        from jax.sharding import Mesh
+
+        from droid_slam_reserch_tpu.parallel.train_parallel import (
+            make_parallel_train_step)
+
+        mesh = Mesh(np.array(jax.devices()), ("dp",))
+        step, prepare = make_parallel_train_step(
+            cfg, ii, jj, mesh, num_steps=args.iters, dtype=dtype,
+            remat=remat, scan=not args.no_scan)
+        params, opt_state, batch = prepare(params, opt_state, batch)
+    else:
+        step = jax.jit(
+            make_train_step(cfg, ii, jj, num_steps=args.iters, dtype=dtype,
+                            remat=remat, debug=args.debug,
+                            scan=not args.no_scan),
+            donate_argnums=(0, 1),
+        )
 
     t0 = time.perf_counter()
     params, opt_state, metrics = step(params, opt_state, batch)
@@ -168,6 +187,7 @@ def main():
         "dtype": "bfloat16" if dtype is not None else "float32",
         "remat": remat,
         "scan": not args.no_scan,
+        "parallel": args.parallel,
         "compile_s": round(compile_s, 1),
         "steps_per_s": round(1.0 / step_s, 4),
         "loss_first": round(losses[0], 4),
