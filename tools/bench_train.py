@@ -149,7 +149,8 @@ def main():
         mesh = Mesh(np.array(jax.devices()), ("dp",))
         step, prepare = make_parallel_train_step(
             cfg, ii, jj, mesh, num_steps=args.iters, dtype=dtype,
-            remat=remat, scan=not args.no_scan)
+            remat=remat, scan=not args.no_scan,
+            donate=bool(int(os.environ.get("BENCH_PAR_DONATE", "1"))))
         params, opt_state, batch = prepare(params, opt_state, batch)
     else:
         step = jax.jit(
