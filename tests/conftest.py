@@ -31,32 +31,20 @@ try:
 except Exception:
     pass
 
-# persistent XLA compile cache: the suite is compile-dominated (dozens of
-# jitted programs), so re-runs drop from ~15 min to the few minutes of
-# actual execution once the cache is warm.  Keyed per host CPU profile —
-# XLA:CPU AOT entries from a different machine can SIGILL/segfault on
-# load (droid_slam_reserch_tpu/utils/cachedir.py).  Loaded by file path
-# so the package (and with it jax) is not imported before the env setup.
-import importlib.util
-
+# NO persistent compile cache for the suite.  It was tried (host-CPU-keyed
+# dir) and removed: jax's cache-READ path segfaulted
+# xdist workers while deserializing XLA:CPU AOT executables on the very
+# host that wrote them (r5, twice: faulthandler stack ends in
+# compilation_cache.get_executable_and_time -> compiler._cache_read, with
+# cpu_aot_loader "+prefer-no-scatter ... not supported on the host
+# machine" warnings).  Cold-compiling every run (~27 min on the 2-core
+# host) is slower but has been green end-to-end; a crashed worker fails
+# the whole suite.
 _repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-_spec = importlib.util.spec_from_file_location(
-    "_droid_cachedir",
-    os.path.join(_repo, "droid_slam_reserch_tpu", "utils", "cachedir.py"),
-)
-_cachedir = importlib.util.module_from_spec(_spec)
-_spec.loader.exec_module(_cachedir)
-_cache = _cachedir.host_cache_dir(os.path.join(_repo, ".jax_cache_tests"))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache)
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)
 
 # The container's sitecustomize imports jax at interpreter startup with
 # JAX_PLATFORMS=axon already captured — override the live config too.
-# (Same for the compile cache: the env vars above are read at import time,
-# which already happened, so set the live config explicitly or the cache
-# silently stays disabled and every suite run recompiles everything.)
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", _cache)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -24,25 +24,15 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, repo)
-# file-path load: don't import the package (and jax) before
-# jax.distributed.initialize below
-import importlib.util
-
-_spec = importlib.util.spec_from_file_location(
-    "_droid_cachedir",
-    os.path.join(repo, "droid_slam_reserch_tpu", "utils", "cachedir.py"),
-)
-_cachedir = importlib.util.module_from_spec(_spec)
-_spec.loader.exec_module(_cachedir)
-cache = _cachedir.host_cache_dir(os.path.join(repo, ".jax_cache_tests"))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache)
+# no persistent compile cache: jax's XLA:CPU cache-READ path segfaults
+# while deserializing AOT executables on this host class (see
+# tests/conftest.py) — worker crashes here abort the whole rendezvous
+os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)
 
 import numpy as np
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", cache)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.distributed.initialize(
     coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid
 )
