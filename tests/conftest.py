@@ -18,16 +18,21 @@ if "xla_force_host_platform_device_count" not in flags:
 import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# XLA:CPU's LLVM passes recurse deeply on the big SPMD training modules;
-# with the default 8 MB stack the FIRST train-step compile late in a long
-# suite run segfaulted intermittently (backend_compile_and_load) while the
-# same compile passes in isolation — classic stack headroom.  Main-thread
-# stacks grow on demand up to RLIMIT_STACK, so lift the cap.
+# XLA:CPU's LLVM passes recurse deeply on the big SPMD/engine modules and
+# intermittently segfault (backend_compile_and_load) late in a long run —
+# classic stack headroom, and the compiles run on POSIX THREADS: glibc
+# sizes a new thread's stack at the soft RLIMIT_STACK, EXCEPT when the
+# limit is unlimited, which falls back to the 8 MB default.  So the cap
+# must be raised to a large FINITE value (r5: an earlier RLIM_INFINITY
+# version still crashed a worker inside an LLVM compile).
 try:
     import resource
 
-    resource.setrlimit(resource.RLIMIT_STACK,
-                       (resource.RLIM_INFINITY, resource.RLIM_INFINITY))
+    _want = 512 * 1024 * 1024
+    _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+    if _hard != resource.RLIM_INFINITY:
+        _want = min(_want, _hard)
+    resource.setrlimit(resource.RLIMIT_STACK, (_want, _hard))
 except Exception:
     pass
 

@@ -1,7 +1,5 @@
-"""End-to-end executions of the ETH3D and TartanAir eval CLIs on fabricated
-datasets (random weights) — including the test-split sweep with its
-success-rate curve (reference evaluation_scripts/test_eth3d.py:58-105,
-validate_tartanair.py:77-114)."""
+"""End-to-end execution of the ETH3D eval CLI on a fabricated RGB-D
+dataset (random weights; reference evaluation_scripts/test_eth3d.py:58-105)."""
 import json
 import os
 
@@ -9,8 +7,7 @@ import numpy as np
 import pytest
 
 from droid_slam_reserch_tpu.cli import main
-from synth_scenes import (FAST_SLAM_FLAGS, make_eth3d_sequence,
-                           make_tartanair_scene)
+from synth_scenes import FAST_SLAM_FLAGS, make_eth3d_sequence
 
 
 @pytest.mark.slow
@@ -29,27 +26,3 @@ def test_eth3d_cli_end_to_end(tmp_path, capsys):
                 ate = d["ate"]
     assert ate is not None, "eth3d CLI printed no ATE JSON"
     assert np.isfinite(ate["rmse"])
-
-
-@pytest.mark.slow
-def test_tartanair_split_cli_end_to_end(tmp_path, capsys):
-    """The validate_tartanair sweep: per-scene ATE + success-rate curve JSON
-    (reference validate_tartanair.py:77-114)."""
-    from droid_slam_reserch_tpu.data.tartan import TARTAN_TEST_SPLIT
-
-    scene = TARTAN_TEST_SPLIT[0]
-    make_tartanair_scene(os.path.join(tmp_path, scene), n_frames=12)
-    out_json = tmp_path / "curve.json"
-    main(["tartanair", "--datapath", str(tmp_path), "--split", "--id", "0",
-          "--out", str(out_json), *FAST_SLAM_FLAGS])
-
-    saved = json.loads(out_json.read_text())
-    assert saved["scenes"] == 1
-    assert np.isfinite(saved["mean_ate"])
-    assert scene in saved["per_scene"]
-    curve = saved["success_rate_curve"]
-    fr = np.asarray(curve["fraction"])
-    assert len(curve["thresholds"]) == len(fr)
-    assert ((fr >= 0) & (fr <= 1)).all()
-    # the curve is a CDF: nondecreasing in the threshold
-    assert (np.diff(fr) >= 0).all()
