@@ -53,3 +53,31 @@ os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+# ---------------------------------------------------------------------------
+# Self-healing for the XLA:CPU compile segfault (see the RLIMIT_STACK note
+# above — the crash is environmental, intermittent, and strikes BIG module
+# compiles late in a worker's life; the same compile always passes in a
+# young process).  When an xdist worker segfaults, dsession already
+# replaces the worker AND loadscope.remove_node() re-queues the crashed
+# file's incomplete tests onto the replacement — so the test RERUNS on a
+# fresh process.  The only thing that turned those crashes into red suites
+# was the phantom "failed" TestReport that handle_crashitem() emits for
+# the in-flight test.  Mark that report "rerun" (a non-failed outcome, so
+# maxfail/-x doesn't trip) and let the rescheduled execution report the
+# real result.  Capped per-test so a test that genuinely segfaults every
+# time still fails the suite.
+_CRASH_RERUNS: dict = {}
+_MAX_CRASH_RERUNS = 2
+
+
+def pytest_handlecrashitem(crashitem, report, sched):
+    n = _CRASH_RERUNS.get(crashitem, 0)
+    if n < _MAX_CRASH_RERUNS:
+        _CRASH_RERUNS[crashitem] = n + 1
+        report.outcome = "rerun"
+
+
+def pytest_report_teststatus(report, config):
+    if getattr(report, "outcome", None) == "rerun":
+        return "rerun", "R", ("RERUN", {"yellow": True})
